@@ -1,0 +1,138 @@
+"""Synthetic genome / SV / noisy-read simulator.
+
+Used by tests and benches (the reference validates end-to-end against real
+GIAB data, `install_lesv.md`; in this repo the CPU-runnable acceptance test
+plants DEL/INS SVs in a random genome, simulates ONT-like noisy reads from
+the donor haplotype, and checks the pipeline recovers the planted calls —
+BASELINE.json config #1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class PlantedSV:
+    kind: str        # "DEL" | "INS"
+    ref_pos: int     # position on the reference (post-normalized, 0-based)
+    length: int
+    seq: np.ndarray | None = None  # inserted sequence for INS
+
+
+@dataclass
+class Truth:
+    svs: list[PlantedSV] = field(default_factory=list)
+
+
+def random_genome(rng: np.random.Generator, length: int) -> np.ndarray:
+    return rng.integers(0, 4, length).astype(np.uint8)
+
+
+def plant_svs(
+    rng: np.random.Generator,
+    ref: np.ndarray,
+    n_del: int = 3,
+    n_ins: int = 3,
+    min_len: int = 50,
+    max_len: int = 500,
+    margin: int = 5_000,
+    min_gap: int = 8_000,
+) -> tuple[np.ndarray, Truth]:
+    """Plant homozygous DEL/INS into ``ref``; return (donor, truth).
+
+    Positions are kept far apart and away from ends so events never overlap.
+    """
+    n = len(ref)
+    k = n_del + n_ins
+    # pick well-separated positions
+    pos = []
+    tries = 0
+    while len(pos) < k and tries < 10_000:
+        p = int(rng.integers(margin, n - margin))
+        if all(abs(p - q) > min_gap + max_len for q in pos):
+            pos.append(p)
+        tries += 1
+    assert len(pos) == k, "could not place SVs"
+    pos.sort()
+    kinds = ["DEL"] * n_del + ["INS"] * n_ins
+    rng.shuffle(kinds)
+
+    truth = Truth()
+    pieces = []
+    prev = 0
+    for p, kind in zip(pos, kinds):
+        L = int(rng.integers(min_len, max_len + 1))
+        pieces.append(ref[prev:p])
+        if kind == "DEL":
+            truth.svs.append(PlantedSV("DEL", p, L))
+            prev = p + L
+        else:
+            ins = rng.integers(0, 4, L).astype(np.uint8)
+            truth.svs.append(PlantedSV("INS", p, L, seq=ins))
+            pieces.append(ins)
+            prev = p
+    pieces.append(ref[prev:])
+    donor = np.concatenate(pieces)
+    return donor, truth
+
+
+def mutate_read(rng: np.random.Generator, seq: np.ndarray,
+                err: float = 0.1) -> np.ndarray:
+    """Apply ONT-like noise: err split ~ 40% mismatch, 30% ins, 30% del."""
+    if err <= 0:
+        return seq.copy()
+    n = len(seq)
+    r = rng.random(n)
+    out = []
+    i = 0
+    p_mm, p_ins = err * 0.4, err * 0.3
+    # vectorized-ish: walk runs between events
+    events = np.flatnonzero(r < err)
+    prev = 0
+    for i in events:
+        out.append(seq[prev:i])
+        u = r[i]
+        if u < p_mm:  # mismatch
+            out.append(np.array([(seq[i] + rng.integers(1, 4)) % 4], dtype=np.uint8))
+        elif u < p_mm + p_ins:  # insertion (keep base + extra)
+            out.append(np.array([seq[i], rng.integers(0, 4)], dtype=np.uint8))
+        # else: deletion (skip base)
+        prev = i + 1
+    out.append(seq[prev:])
+    return np.concatenate(out) if out else seq.copy()
+
+
+def simulate_reads(
+    rng: np.random.Generator,
+    donor: np.ndarray,
+    coverage: float = 20.0,
+    mean_len: int = 12_000,
+    min_len: int = 3_000,
+    err: float = 0.1,
+) -> list[tuple[str, np.ndarray]]:
+    """Sample noisy reads uniformly from the donor, random strand."""
+    from lesv_tpu.io.fasta import revcomp
+
+    n = len(donor)
+    total = int(n * coverage)
+    reads = []
+    got = 0
+    i = 0
+    while got < total:
+        L = max(min_len, int(rng.exponential(mean_len)))
+        L = min(L, n)
+        start = int(rng.integers(0, n - L + 1))
+        frag = donor[start : start + L]
+        read = mutate_read(rng, frag, err)
+        if int(rng.integers(0, 2)):
+            read = revcomp(read)
+            name = f"sim{i}_rev_{start}_{start+L}"
+        else:
+            name = f"sim{i}_fwd_{start}_{start+L}"
+        reads.append((name, read))
+        got += L
+        i += 1
+    return reads

@@ -271,6 +271,124 @@ def banded_global_align(q: np.ndarray, s: np.ndarray, band: int,
     return Alignment(0, Q, 0, S, ops, score=score)
 
 
+def extension_align(q: np.ndarray, s: np.ndarray, band: int,
+                    cfg: AlignConfig | None = None) -> Alignment | None:
+    """Extension alignment from (0,0): best-scoring path to any (i, j).
+
+    The oracle for the blockwise end-extension (reference
+    `edlib_extend` / `left_extend/right_extend`, hbn_traceback.c:211-310):
+    fill the banded DP, find the best-scoring cell, trace back to the
+    origin.  Returns an Alignment with qe/se at the best cell.
+    """
+    cfg = cfg or AlignConfig()
+    Q, S = len(q), len(s)
+    if Q == 0 or S == 0:
+        return Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0)
+    go1, ge1, go2, ge2 = cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2
+    W = min(band, S + 1)
+    # extension paths run near the main diagonal (slope 1), regardless of
+    # how much longer the subject window is
+    guide = np.minimum(np.maximum(np.arange(Q + 1) - W // 2, 0), S + 1 - W)
+
+    Hrow = np.full(W, NEG, np.int64)
+    E1row = np.full(W, NEG, np.int64)
+    E2row = np.full(W, NEG, np.int64)
+    F1row = np.full(W, NEG, np.int64)
+    F2row = np.full(W, NEG, np.int64)
+    dirs = np.zeros((Q + 1, W), np.uint8)
+
+    js = guide[0] + np.arange(W)
+    E1row = np.where(js > 0, -go1 - js * ge1, NEG)
+    E2row = np.where(js > 0, -go2 - js * ge2, NEG)
+    Hrow = np.where(js == 0, 0, np.maximum(E1row, E2row))
+    Hrow = np.where(js <= S, Hrow, NEG)
+    d0 = np.where(E1row >= E2row, 1, 2).astype(np.uint8) | 0x18
+    dirs[0] = d0
+
+    best = (int(Hrow[0]), 0, 0)  # (score, i, b)
+
+    def shifted(row, d):
+        out = np.full(W, NEG, np.int64)
+        if d >= W:
+            return out
+        if d >= 0:
+            out[: W - d if d else W] = row[d:] if d else row
+        else:
+            out[-d:] = row[: W + d]
+        return out
+
+    for i in range(1, Q + 1):
+        d = int(guide[i] - guide[i - 1])
+        js = guide[i] + np.arange(W)
+        inb = js <= S
+        Hd = shifted(Hrow, d - 1)
+        Hu = shifted(Hrow, d)
+        F1u = shifted(F1row, d)
+        F2u = shifted(F2row, d)
+        qc = q[i - 1]
+        sj = np.where((js >= 1) & (js <= S), s[np.clip(js - 1, 0, S - 1)], 255)
+        sub = np.where(sj == qc, cfg.match, -cfg.mismatch).astype(np.int64)
+        diag = np.where(js >= 1, Hd + sub, NEG)
+        F1row = np.maximum(Hu - go1 - ge1, F1u - ge1)
+        F2row = np.maximum(Hu - go2 - ge2, F2u - ge2)
+        F1ext = F1row == F1u - ge1
+        F2ext = F2row == F2u - ge2
+        Hpre = np.maximum(diag, np.maximum(F1row, F2row))
+        E1row = _row_gap(Hpre, js, go1, ge1, W)
+        E2row = _row_gap(Hpre, js, go2, ge2, W)
+        E1ext = np.empty(W, bool)
+        E1ext[0] = True
+        E1ext[1:] = E1row[1:] == E1row[:-1] - ge1
+        E2ext = np.empty(W, bool)
+        E2ext[0] = True
+        E2ext[1:] = E2row[1:] == E2row[:-1] - ge2
+        Hrow = np.maximum(Hpre, np.maximum(E1row, E2row))
+        Hrow = np.where(inb, Hrow, NEG)
+        src = np.where(Hrow == diag, 0,
+              np.where(Hrow == E1row, 1,
+              np.where(Hrow == E2row, 2,
+              np.where(Hrow == F1row, 3, 4)))).astype(np.uint8)
+        dirs[i] = (src | (E1ext << 3) | (E2ext << 4)
+                   | (F1ext << 5) | (F2ext << 6)).astype(np.uint8)
+        bmax = int(np.argmax(Hrow))
+        if int(Hrow[bmax]) > best[0]:
+            best = (int(Hrow[bmax]), i, bmax)
+
+    score, iE, bE = best
+    if score <= NEG // 2:
+        return None
+    ops = []
+    i, b = iE, bE
+    state = 0
+    while i > 0 or guide[i] + b > 0:
+        byte = int(dirs[i, b])
+        if state == 0:
+            state = byte & 7
+            if state == 0:
+                ops.append(OP_M)
+                d = int(guide[i] - guide[i - 1]) if i > 0 else 0
+                i -= 1
+                b = b + d - 1
+        elif state in (1, 2):
+            ops.append(OP_D)
+            ext = byte & (0x08 if state == 1 else 0x10)
+            b -= 1
+            if not ext:
+                state = 0
+        else:
+            ops.append(OP_I)
+            ext = byte & (0x20 if state == 3 else 0x40)
+            d = int(guide[i] - guide[i - 1])
+            i -= 1
+            b = b + d
+            if not ext:
+                state = 0
+        if b < 0 or b >= W or i < 0:
+            return None
+    ops = np.array(ops[::-1], dtype=np.uint8)
+    return Alignment(0, iE, 0, int(guide[iE] + bE), ops, score=score)
+
+
 def _row_gap(Hpre: np.ndarray, js: np.ndarray, go: int, ge: int, W: int) -> np.ndarray:
     """E[j] = max_{k<j} (Hpre[k] - go - (j-k)*ge) via running max."""
     base = Hpre + js * ge

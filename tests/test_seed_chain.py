@@ -79,7 +79,10 @@ def test_seed_matches_both_strands(rng):
     assert (sr - qr == 4_000).mean() > 0.95
 
 
-def test_chain_clean_read(rng):
+def test_ddf_chain_locates_candidate_region(rng):
+    """First-stage DDF chains are sparse by design (index stride x query
+    stride); they only need to locate the candidate subject region
+    (reference `find_candidate_subject_subseqs`)."""
     genome = random_genome(rng, 50_000)
     store = SeqStore.from_records([("chr1", genome)])
     idx = KmerIndex.build(store, IndexConfig(kmer_size=15, kmer_window=10))
@@ -88,29 +91,42 @@ def test_chain_clean_read(rng):
     qo, so = m[0]
     chains = extract_chains_np(qo, so, length=15)
     assert chains, "no chain found on a clean read"
+    # every reported chain sits on the true alignment diagonal
+    for c in chains:
+        assert 9_500 < c.sbeg - c.qbeg + 10_000 < 30_500
+        # anchors are exact matches of the seed kmer
+        for qoff, soff in c.anchors:
+            assert np.array_equal(read[qoff : qoff + 15], genome[soff : soff + 15])
+
+
+def test_pair_chain_full_read(rng):
+    """Dense pairwise re-seeding chains the whole read in one candidate
+    (reference memsc / InitHitFinder stage)."""
+    from lesv_tpu.ops.pairseed import pair_chains
+
+    genome = random_genome(rng, 50_000)
+    read = mutate_read(rng, genome[10_000:20_000], err=0.1)
+    chains = pair_chains(read, genome[8_000:22_000])
+    assert chains
     best = chains[0]
-    assert abs(best.sbeg - 10_000) < 500 and abs(best.send - 20_000) < 500
-    assert best.qbeg < 500 and best.qend > len(read) - 500
-    # anchors are exact matches of the seed kmer
-    for qoff, soff in best.anchors[:: max(1, len(best.anchors) // 20)]:
-        assert np.array_equal(read[qoff : qoff + 15], genome[soff : soff + 15])
+    assert best.qbeg < 100 and best.qend > len(read) - 100
+    assert abs(best.sbeg - 2_000) < 100 and abs(best.send - 12_000) < 100
+    assert len(best.anchors) > 100
 
 
-def test_chain_join_spans_deletion(rng):
+def test_pair_chain_join_spans_deletion(rng):
     """A read spanning a 3kb DEL must stay a single joined candidate
     (reference join_adjacent_chains, chain_dp.c:446-534)."""
+    from lesv_tpu.ops.pairseed import pair_chains
+
     genome = random_genome(rng, 60_000)
     donor = np.concatenate([genome[:30_000], genome[33_000:]])  # 3kb DEL at 30k
-    store = SeqStore.from_records([("chr1", genome)])
-    idx = KmerIndex.build(store, IndexConfig(kmer_size=15, kmer_window=10))
     read = mutate_read(rng, donor[22_000:38_000], err=0.08)  # spans the DEL
-    m = collect_seed_matches(idx, read)
-    qo, so = m[0]
-    chains = extract_chains_np(qo, so, length=15)
+    chains = pair_chains(read, genome[20_000:42_000])
     assert chains
     best = chains[0]
     # joined chain covers both sides of the deletion
-    assert best.sbeg < 25_000 and best.send > 36_000
+    assert best.sbeg < 5_000 and best.send > 16_000
     # and the anchor diagonal jumps by ~3000 at the SV site
     diag = best.anchors[:, 1] - best.anchors[:, 0]
     assert diag.max() - diag.min() > 2_500

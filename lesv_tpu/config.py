@@ -48,7 +48,9 @@ class ChainConfig:
     max_band_width: int = 1_500
     max_skip: int = 25
     min_seed_cnt: int = 3        # min_ddfs (`cmdline_args.cpp:44`)
-    min_chain_score: int = 2     # min candidate score for DDF stage
+    # DDF stage min score = min_ddfs * kmer_size * 0.8
+    # (`chain_and_extend_kmer_matches.c:59`)
+    min_chain_score: int = 36
     # chain joining — what lets an SV-spanning read stay one candidate
     max_join_long: int = 20_000
     max_join_short: int = 2_000

@@ -1,0 +1,193 @@
+"""The reference mapper: seed -> chain -> candidate windows -> extend -> M4.
+
+Rebuild of `qx2map` (`app/map/`): DDF seeding over the k-mer index locates
+candidate subject windows (`hbn_find_subseq_hit.c`); each window is densely
+re-seeded and chained (`init_hit_finder.c` semantics via ops.pairseed,
+including the SV-preserving chain join); chains are aligned with the
+anchored banded-DP engine; HSPs are filtered (qcov_hsp_res, perc_identity),
+deduped, and emitted as M4 records.
+
+This module is the host orchestration; the heavy per-batch compute runs
+through the ops layer (device kernels when available, numpy oracle
+otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.index.kmer_index import KmerIndex
+from lesv_tpu.io.fasta import revcomp
+from lesv_tpu.io.seqstore import SeqStore
+from lesv_tpu.ops.anchored import anchored_extend
+from lesv_tpu.ops.chain import Chain, extract_chains_np
+from lesv_tpu.ops.cigar import effective_ident_perc, ident_perc, match_mask
+from lesv_tpu.ops.pairseed import pair_chains
+from lesv_tpu.ops.seeding import collect_seed_matches
+
+FWD, REV = 0, 1
+
+
+@dataclass
+class M4:
+    """One mapping record (reference `corelib/m4_record.h`).
+
+    qoff/qend are strand-oriented (coordinates on the qdir-oriented query),
+    matching the reference convention (`find_sv_reads.c:131-141`).
+    """
+
+    qid: int
+    qdir: int
+    qoff: int
+    qend: int
+    qsize: int
+    sid: int
+    soff: int
+    send: int
+    ssize: int
+    ident_perc: float
+    score: int
+    dist: int = 0   # edit-ish distance: alignment columns - matches
+    # the alignment itself (kept in-memory; the reference round-trips
+    # text M4 + re-alignment instead)
+    ops: np.ndarray | None = field(default=None, repr=False)
+
+
+@dataclass
+class CandidateWindow:
+    sid: int
+    sfrom: int
+    sto: int
+    score: int
+    qdir: int
+
+
+def find_candidate_windows(
+    chains_by_dir: dict[int, list[Chain]],
+    index: KmerIndex,
+    qlen: int,
+    cfg: LesvConfig,
+) -> list[CandidateWindow]:
+    """Group DDF chains by subject, keep top max_target_seqs subjects, expand
+    each chain to a subject window, merge near windows.
+
+    Window expansion mirrors `adjust_init_hit_subject_offset`
+    (`hbn_find_subseq_hit.c:119-156`): from the chain position extend by
+    1.3x the flanking query length, capped at +30kb, clipped to the subject.
+    """
+    mcfg = cfg.map
+    # collect (sid, window, score, qdir)
+    raw: list[CandidateWindow] = []
+    for qdir, chains in chains_by_dir.items():
+        for c in chains:
+            gpos = np.int64(c.sbeg)
+            sid, loc = index.global_to_local(np.array([gpos]))
+            sid, loc = int(sid[0]), int(loc[0])
+            ssize = int(index.subject_starts[sid + 1] - index.subject_starts[sid])
+            # chain midpoint anchor
+            mid_q = (c.qbeg + c.qend) // 2
+            mid_s = int((c.sbeg + c.send) // 2 - index.subject_starts[sid])
+            ql = mid_q
+            qr = qlen - mid_q
+            x = min(int(qlen * mcfg.subseq_margin_factor), ql + mcfg.subseq_max_gap)
+            sfrom = max(0, mid_s - min(x, mid_s))
+            x = min(int(qlen * mcfg.subseq_margin_factor), qr + mcfg.subseq_max_gap)
+            sto = min(ssize, mid_s + x)
+            raw.append(CandidateWindow(sid, sfrom, sto, c.score, qdir))
+    if not raw:
+        return []
+    # top subjects by best score
+    best_by_sid: dict[int, int] = {}
+    for w in raw:
+        best_by_sid[w.sid] = max(best_by_sid.get(w.sid, 0), w.score)
+    top_sids = sorted(best_by_sid, key=lambda s: -best_by_sid[s])[: mcfg.max_target_seqs]
+    out: list[CandidateWindow] = []
+    for sid in top_sids:
+        for qdir in (FWD, REV):
+            ws = sorted(
+                (w for w in raw if w.sid == sid and w.qdir == qdir),
+                key=lambda w: w.sfrom,
+            )
+            merged: list[CandidateWindow] = []
+            for w in ws:
+                if merged and w.sfrom - merged[-1].sto <= mcfg.max_subseq_gap_merge:
+                    merged[-1].sto = max(merged[-1].sto, w.sto)
+                    merged[-1].score = max(merged[-1].score, w.score)
+                else:
+                    merged.append(CandidateWindow(w.sid, w.sfrom, w.sto, w.score, qdir))
+            out.extend(merged)
+    return out
+
+
+def _hsp_contained(kept: list[M4], m: M4, eps: int = 100) -> bool:
+    for a in kept:
+        if (a.qdir == m.qdir and a.sid == m.sid
+                and m.qoff + eps >= a.qoff and m.qend <= a.qend + eps
+                and m.soff + eps >= a.soff and m.send <= a.send + eps):
+            return True
+    return False
+
+
+def map_read(
+    qid: int,
+    read: np.ndarray,
+    store: SeqStore,
+    index: KmerIndex,
+    cfg: LesvConfig | None = None,
+) -> list[M4]:
+    """Map one read against the indexed subject store; return M4 records."""
+    cfg = cfg or LesvConfig()
+    qlen = len(read)
+    if qlen < max(cfg.map.min_query_size, index.k):
+        return []
+    matches = collect_seed_matches(index, read, cfg.seeding)
+    chains_by_dir: dict[int, list[Chain]] = {}
+    for d in (FWD, REV):
+        qo, so = matches[d]
+        chains_by_dir[d] = extract_chains_np(qo, so, length=index.k, cfg=cfg.chain)
+    windows = find_candidate_windows(chains_by_dir, index, qlen, cfg)
+    results: list[M4] = []
+    for w in windows:
+        sseq = store.get(w.sid, w.sfrom, w.sto)
+        q = read if w.qdir == FWD else revcomp(read)
+        wchains = pair_chains(q, sseq, cfg=cfg.chain)
+        for c in wchains[: cfg.map.max_hsps]:
+            aln = anchored_extend(q, sseq, c.anchors, k=12, cfg=cfg.align)
+            if aln is None:
+                continue
+            if aln.qe - aln.qb < cfg.map.qcov_hsp_res:
+                continue
+            mm = match_mask(aln.ops, q, sseq, aln.qb, aln.sb)
+            n_match = int(mm.sum())
+            pid = 100.0 * n_match / len(aln.ops) if len(aln.ops) else 0.0
+            if pid < cfg.map.perc_identity:
+                continue
+            m4 = M4(
+                qid=qid, qdir=w.qdir, qoff=aln.qb, qend=aln.qe, qsize=qlen,
+                sid=w.sid, soff=w.sfrom + aln.sb, send=w.sfrom + aln.se,
+                ssize=store.seq_size(w.sid),
+                ident_perc=pid, score=aln.score,
+                dist=len(aln.ops) - n_match, ops=aln.ops,
+            )
+            if not _hsp_contained(results, m4):
+                results.append(m4)
+    results.sort(key=lambda m: -m.score)
+    return results
+
+
+def map_all(
+    reads: list[tuple[str, np.ndarray]],
+    store: SeqStore,
+    index: KmerIndex,
+    cfg: LesvConfig | None = None,
+) -> tuple[list[M4], SeqStore]:
+    """Map a list of reads; returns (all M4 records, the query store)."""
+    cfg = cfg or LesvConfig()
+    qstore = SeqStore.from_records(reads)
+    out: list[M4] = []
+    for qid in range(qstore.num_seqs):
+        out.extend(map_read(qid, qstore.get(qid), store, index, cfg))
+    return out, qstore

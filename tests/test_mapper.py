@@ -1,0 +1,69 @@
+"""End-to-end mapper tests on a synthetic genome (BASELINE config #1 scale)."""
+
+import numpy as np
+import pytest
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.index.kmer_index import KmerIndex
+from lesv_tpu.io.fasta import revcomp
+from lesv_tpu.io.seqstore import SeqStore
+from lesv_tpu.pipeline.mapper import map_read
+from lesv_tpu.sim import mutate_read, plant_svs, random_genome
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(42)
+    genome = random_genome(rng, 120_000)
+    store = SeqStore.from_records([("chr1", genome)])
+    cfg = LesvConfig()
+    idx = KmerIndex.build(store, cfg.index)
+    return rng, genome, store, idx, cfg
+
+
+def test_map_fwd_read(world):
+    rng, genome, store, idx, cfg = world
+    read = mutate_read(rng, genome[20_000:35_000], err=0.1)
+    m4s = map_read(0, read, store, idx, cfg)
+    assert m4s
+    best = m4s[0]
+    assert best.qdir == 0
+    assert abs(best.soff - 20_000) < 100 and abs(best.send - 35_000) < 100
+    assert best.qoff < 100 and best.qend > len(read) - 100
+    assert best.ident_perc > 85.0
+
+
+def test_map_rev_read(world):
+    rng, genome, store, idx, cfg = world
+    read = revcomp(mutate_read(rng, genome[50_000:62_000], err=0.1))
+    m4s = map_read(0, read, store, idx, cfg)
+    assert m4s
+    best = m4s[0]
+    assert best.qdir == 1
+    assert abs(best.soff - 50_000) < 100 and abs(best.send - 62_000) < 100
+    assert best.ident_perc > 85.0
+
+
+def test_map_read_spanning_sv(world):
+    rng, genome, store, idx, cfg = world
+    # 800bp deletion at 70k
+    donor = np.concatenate([genome[:70_000], genome[70_800:]])
+    read = mutate_read(rng, donor[64_000:78_000], err=0.1)
+    m4s = map_read(0, read, store, idx, cfg)
+    assert m4s
+    best = m4s[0]
+    # single HSP spanning the deletion
+    assert best.soff < 65_000 and best.send > 77_500
+    from lesv_tpu.ops.cigar import scan_indel_signatures
+
+    sigs = scan_indel_signatures(best.ops, best.qoff, best.soff, min_size=40)
+    dels = [t for t in sigs if t[0] == "DEL"]
+    assert len(dels) == 1
+    assert abs(dels[0][2] - 70_000) < 60 and abs(dels[0][3] - 800) < 80
+
+
+def test_map_unmappable_read(world):
+    rng, genome, store, idx, cfg = world
+    junk = rng.integers(0, 4, 5_000).astype(np.uint8)
+    m4s = map_read(0, junk, store, idx, cfg)
+    assert m4s == []

@@ -1,0 +1,79 @@
+"""Indel-signature extraction (stage qx2svsig).
+
+Rebuild of `app/necat2sv/find_sv_signature.c`: each selected SV read is
+globally realigned against its subject window (reference: ksw2 with
+band = dist*1.2, full-band rescue; here: the anchored banded engine),
+bad ends are truncated, TRF windows skipped, effective identity must be
+>= 70, and gap runs >= min_indel_size (40) become SvSignature records
+carrying both window-local and full-reference coordinates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.io.seqstore import SeqStore
+from lesv_tpu.ops.cigar import effective_ident_perc, scan_indel_signatures
+from lesv_tpu.pipeline.sv_reads import SvRead, TrfMask, realign_span
+
+
+@dataclass
+class SvSignature:
+    """One INS/DEL signature (reference `sv_signature.h` semantics)."""
+
+    kind: str        # "INS" | "DEL"
+    qid: int
+    qdir: int
+    qfrom: int       # oriented-query position of the event
+    qto: int
+    sfrom: int       # subject position of the event (full-reference coords)
+    sto: int
+    subject_id: int
+    length: int      # indel length
+
+
+def extract_signatures(
+    sv_reads: list[SvRead],
+    qstore: SeqStore,
+    sstore: SeqStore,
+    cfg: LesvConfig | None = None,
+    trf: TrfMask | None = None,
+) -> list[SvSignature]:
+    cfg = cfg or LesvConfig()
+    sigs: list[SvSignature] = []
+    for svr in sv_reads:
+        r = realign_span(qstore, sstore, svr.query_id, svr.qdir,
+                         svr.qoff, svr.qend, svr.subject_id, svr.soff,
+                         svr.send, cfg)
+        if r is None:
+            continue
+        q, s, aln = r
+        # full-reference coordinates of the (trimmed) alignment
+        fsb = svr.soff + aln.sb
+        fse = svr.soff + aln.se
+        if trf and trf.fall_in(svr.subject_id, fsb, fse):
+            continue
+        eff = effective_ident_perc(aln.ops, q, s, aln.qb, aln.sb,
+                                   cfg.align.eff_ident_gap_run)
+        if eff < cfg.sv_sig.min_eff_ident_perc:
+            continue
+        events = scan_indel_signatures(aln.ops, aln.qb, aln.sb,
+                                       cfg.sv_sig.min_indel_size)
+        for kind, qpos, spos, length in events:
+            # positions: qpos relative to the extracted span; convert to
+            # oriented-read coords; spos to full-reference coords
+            fq = svr.qoff + qpos
+            fs = svr.soff + spos
+            if kind == "DEL":
+                sigs.append(SvSignature("DEL", svr.query_id, svr.qdir,
+                                        fq, fq + 1, fs, fs + length,
+                                        svr.subject_id, length))
+            else:
+                sigs.append(SvSignature("INS", svr.query_id, svr.qdir,
+                                        fq, fq + length, fs, fs + 1,
+                                        svr.subject_id, length))
+    sigs.sort(key=lambda g: (g.subject_id, g.sfrom))
+    return sigs

@@ -1,0 +1,86 @@
+"""Stages 4-6 on a small synthetic SV scenario: SV-read selection,
+signature extraction, grouping."""
+
+import numpy as np
+import pytest
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.index.kmer_index import KmerIndex
+from lesv_tpu.io.seqstore import SeqStore
+from lesv_tpu.pipeline.grouping import group_signatures
+from lesv_tpu.pipeline.mapper import map_all
+from lesv_tpu.pipeline.signatures import extract_signatures
+from lesv_tpu.pipeline.sv_reads import TrfMask, select_sv_reads
+from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def svworld():
+    rng = np.random.default_rng(7)
+    genome = random_genome(rng, 100_000)
+    donor, truth = plant_svs(rng, genome, n_del=1, n_ins=1,
+                             min_len=120, max_len=300, margin=15_000,
+                             min_gap=30_000)
+    reads = simulate_reads(rng, donor, coverage=12.0, mean_len=9_000,
+                           min_len=4_000, err=0.08)
+    cfg = LesvConfig()
+    store = SeqStore.from_records([("chr1", genome)])
+    idx = KmerIndex.build(store, cfg.index)
+    m4s, qstore = map_all(reads, store, idx, cfg)
+    return genome, truth, reads, cfg, store, qstore, m4s
+
+
+def test_mapping_coverage(svworld):
+    genome, truth, reads, cfg, store, qstore, m4s = svworld
+    mapped_qids = {m.qid for m in m4s}
+    assert len(mapped_qids) > 0.9 * len(reads)
+
+
+def test_sv_read_selection(svworld):
+    genome, truth, reads, cfg, store, qstore, m4s = svworld
+    svrs = select_sv_reads(m4s, qstore, store, cfg)
+    assert svrs
+    # reads spanning an SV site must be selected
+    for sv in truth.svs:
+        spanning = [r for r in svrs
+                    if r.soff < sv.ref_pos - 500 and r.send > sv.ref_pos + 500]
+        assert len(spanning) >= 3, f"{sv.kind}@{sv.ref_pos} lost its reads"
+
+
+def test_signatures_recover_planted_svs(svworld):
+    genome, truth, reads, cfg, store, qstore, m4s = svworld
+    svrs = select_sv_reads(m4s, qstore, store, cfg)
+    sigs = extract_signatures(svrs, qstore, store, cfg)
+    assert sigs
+    for sv in truth.svs:
+        near = [g for g in sigs
+                if g.kind == sv.kind and abs(g.sfrom - sv.ref_pos) < 100
+                and abs(g.length - sv.length) < 0.3 * sv.length]
+        assert len(near) >= 3, f"{sv.kind}@{sv.ref_pos} len={sv.length}: {len(near)} sigs"
+    # and no pile of false signatures away from the planted sites
+    false = [g for g in sigs
+             if all(abs(g.sfrom - sv.ref_pos) > 1_000 for sv in truth.svs)]
+    assert len(false) < max(3, len(sigs) // 4)
+
+
+def test_grouping(svworld):
+    genome, truth, reads, cfg, store, qstore, m4s = svworld
+    svrs = select_sv_reads(m4s, qstore, store, cfg)
+    sigs = extract_signatures(svrs, qstore, store, cfg)
+    groups = group_signatures(sigs, cfg)
+    assert groups
+    for sv in truth.svs:
+        near = [g for g in groups
+                if g.kind == sv.kind
+                and any(abs(s.sfrom - sv.ref_pos) < 100 for s in g.sigs)]
+        assert near, f"no group at {sv.kind}@{sv.ref_pos}"
+        assert len(near[0].sigs) >= 4
+
+
+def test_trf_mask_excludes(svworld):
+    genome, truth, reads, cfg, store, qstore, m4s = svworld
+    # mask that covers everything: no signatures survive
+    trf = TrfMask(store, {0: [(0, len(genome))]})
+    svrs = select_sv_reads(m4s, qstore, store, cfg, trf=trf)
+    sigs = extract_signatures(svrs, qstore, store, cfg, trf=trf)
+    assert sigs == []

@@ -1,0 +1,112 @@
+"""End-to-end pipeline driver (replaces `scripts/lesv.sh run cfg`).
+
+Runs: subread split -> index -> map -> SV-read selection -> signatures ->
+grouping -> group consensus -> remap -> native calling -> VCF, with
+per-stage wall-clock timing (the reference's hbn_timing_begin/end) and
+optional SAM/VCF artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.index.kmer_index import KmerIndex
+from lesv_tpu.io.sam import sam_header, sam_record
+from lesv_tpu.io.seqstore import SeqStore, split_subreads
+from lesv_tpu.io.vcf import VcfCall, write_vcf
+from lesv_tpu.pipeline.caller import call_svs
+from lesv_tpu.pipeline.cns import cns_group
+from lesv_tpu.pipeline.grouping import group_signatures
+from lesv_tpu.pipeline.mapper import map_all
+from lesv_tpu.pipeline.remap import remap_all
+from lesv_tpu.pipeline.signatures import extract_signatures
+from lesv_tpu.pipeline.sv_reads import TrfMask, select_sv_reads
+from lesv_tpu.utils.logging import log
+
+
+@dataclass
+class PipelineResult:
+    calls: list[VcfCall]
+    timings: dict[str, float] = field(default_factory=dict)
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def run_pipeline(
+    ref_records,
+    read_records,
+    cfg: LesvConfig | None = None,
+    trf_intervals: dict[int, list[tuple[int, int]]] | None = None,
+    out_dir: str | None = None,
+) -> PipelineResult:
+    cfg = cfg or LesvConfig()
+    timings: dict[str, float] = {}
+    stats: dict[str, int] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = time.time() - self.t0
+                log(f"[{name}] {timings[name]:.2f}s")
+
+        return _T()
+
+    with timed("build_ref"):
+        sstore = SeqStore.from_records(ref_records)
+        index = KmerIndex.build(sstore, cfg.index)
+    trf = TrfMask(sstore, trf_intervals) if trf_intervals else None
+
+    with timed("split"):
+        reads = list(split_subreads(read_records, cfg.split))
+    stats["reads"] = len(reads)
+
+    with timed("map"):
+        m4s, qstore = map_all(reads, sstore, index, cfg)
+    stats["m4s"] = len(m4s)
+
+    with timed("sv_reads"):
+        svrs = select_sv_reads(m4s, qstore, sstore, cfg, trf)
+    stats["sv_reads"] = len(svrs)
+
+    with timed("signatures"):
+        sigs = extract_signatures(svrs, qstore, sstore, cfg, trf)
+    stats["signatures"] = len(sigs)
+
+    with timed("grouping"):
+        groups = group_signatures(sigs, cfg)
+    stats["groups"] = len(groups)
+
+    with timed("consensus"):
+        corrected = []
+        for g in groups:
+            corrected.extend(cns_group(g, qstore, cfg))
+    stats["corrected_reads"] = len(corrected)
+
+    with timed("remap"):
+        remapped = remap_all(corrected, sstore, cfg)
+    stats["remapped"] = len(remapped)
+
+    with timed("call"):
+        calls = call_svs(remapped, sstore, cfg)
+    stats["calls"] = len(calls)
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "remapped.sam"), "w") as fh:
+            fh.write(sam_header(sstore))
+            for r in remapped:
+                fh.write(sam_record(
+                    r.name, r.rev, sstore.name_of(r.subject_id), r.pos, 60,
+                    r.ops, r.seq, f"rg{r.subject_id}",
+                    tags={"gi": r.group_id}))
+        write_vcf(os.path.join(out_dir, "calls.vcf"), calls, sstore)
+
+    return PipelineResult(calls=calls, timings=timings, stats=stats)

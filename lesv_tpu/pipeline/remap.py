@@ -1,0 +1,111 @@
+"""Remap corrected SV reads to the reference (stage qx2asvr).
+
+Rebuild of `app/necat2sv/map_cns_sv_read.c`: each corrected read (oriented
+by its fsqdir) is globally aligned against the subject window encoded in
+its metadata (band 0.2 x len, full-band rescue in the reference), the
+alignment is clipped to the consensus-corrected subsequence
+(`s_dump_sv_read_info`, :57-170), kept only at effective identity >= 85,
+and emitted as an alignment record (SAM downstream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.io.fasta import revcomp
+from lesv_tpu.io.seqstore import SeqStore
+from lesv_tpu.ops.align_np import OP_D, OP_I
+from lesv_tpu.ops.anchored import anchored_extend
+from lesv_tpu.ops.cigar import effective_ident_perc, ident_perc
+from lesv_tpu.ops.pairseed import pair_chains
+from lesv_tpu.pipeline.cns import CorrectedRead
+
+
+@dataclass
+class RemapResult:
+    """One remapped consensus read (feeds SAM emission + the caller)."""
+
+    name: str
+    global_id: int
+    rev: bool
+    subject_id: int
+    pos: int          # 0-based subject start (full-reference coords)
+    end: int
+    ops: np.ndarray   # clipped alignment ops
+    seq: np.ndarray   # the aligned oriented read subsequence
+    ident_perc: float
+    eff_ident_perc: float
+    group_id: int
+    kind: str
+
+
+def remap_read(
+    cr: CorrectedRead,
+    sstore: SeqStore,
+    cfg: LesvConfig | None = None,
+) -> RemapResult | None:
+    cfg = cfg or LesvConfig()
+    read = cr.seq if cr.fsqdir == 0 else revcomp(cr.seq)
+    n = len(read)
+    if cr.fsqdir == 0:
+        cns_qb, cns_qe = cr.cns_from, cr.cns_to
+    else:
+        cns_qb, cns_qe = n - cr.cns_to, n - cr.cns_from
+    subject = sstore.get(cr.subject_id, cr.fsfrom, cr.fsto)
+    chains = pair_chains(read, subject, cfg=cfg.chain)
+    if not chains:
+        return None
+    aln = anchored_extend(read, subject, chains[0].anchors, k=12, cfg=cfg.align)
+    if aln is None or len(aln.ops) == 0:
+        return None
+    # clip alignment columns to the consensus subsequence [cns_qb, cns_qe)
+    isq = aln.ops != OP_D
+    ist = aln.ops != OP_I
+    qpos = aln.qb + np.cumsum(isq)   # query consumed *after* each column
+    a = int(np.searchsorted(qpos, cns_qb + 1)) if cns_qb > aln.qb else 0
+    b = int(np.searchsorted(qpos, cns_qe, side="right")) if cns_qe < aln.qe else len(aln.ops)
+    if a >= b:
+        return None
+    ops = aln.ops[a:b]
+    qif = aln.qb + int(isq[:a].sum())
+    sif = aln.sb + int(ist[:a].sum())
+    qie = qif + int((ops != OP_D).sum())
+    sie = sif + int((ops != OP_I).sum())
+    pid = ident_perc(ops, read, subject, qif, sif)
+    eff = effective_ident_perc(ops, read, subject, qif, sif,
+                               cfg.align.eff_ident_gap_run)
+    if eff < cfg.remap.min_eff_ident_perc:
+        return None
+    return RemapResult(
+        name=f"{cr.name}_svr:{cr.fsqdir}:{cr.subject_id}:{cr.group_id}:"
+             f"{cr.fsfrom}:{cr.fsto}_cns:{cr.cns_from}:{cr.cns_to}",
+        global_id=cr.global_id,
+        rev=cr.fsqdir == 1,
+        subject_id=cr.subject_id,
+        pos=cr.fsfrom + sif,
+        end=cr.fsfrom + sie,
+        ops=ops,
+        seq=read[qif:qie],
+        ident_perc=pid,
+        eff_ident_perc=eff,
+        group_id=cr.group_id,
+        kind=cr.kind,
+    )
+
+
+def remap_all(
+    corrected: list[CorrectedRead],
+    sstore: SeqStore,
+    cfg: LesvConfig | None = None,
+) -> list[RemapResult]:
+    cfg = cfg or LesvConfig()
+    out = []
+    for cr in corrected:
+        r = remap_read(cr, sstore, cfg)
+        if r is not None:
+            out.append(r)
+    out.sort(key=lambda r: (r.subject_id, r.pos))
+    return out

@@ -33,6 +33,12 @@ class SvSignature:
     sto: int
     subject_id: int
     length: int      # indel length
+    # the whole SV-read alignment span (reference fqfrom/fqto/fsfrom/fsto):
+    # remap realigns corrected reads against subject [aln_sb, aln_se)
+    aln_qb: int = 0
+    aln_qe: int = 0
+    aln_sb: int = 0
+    aln_se: int = 0
 
 
 def extract_signatures(
@@ -62,6 +68,8 @@ def extract_signatures(
             continue
         events = scan_indel_signatures(aln.ops, aln.qb, aln.sb,
                                        cfg.sv_sig.min_indel_size)
+        fqb = svr.qoff + aln.qb
+        fqe = svr.qoff + aln.qe
         for kind, qpos, spos, length in events:
             # positions: qpos relative to the extracted span; convert to
             # oriented-read coords; spos to full-reference coords
@@ -70,10 +78,12 @@ def extract_signatures(
             if kind == "DEL":
                 sigs.append(SvSignature("DEL", svr.query_id, svr.qdir,
                                         fq, fq + 1, fs, fs + length,
-                                        svr.subject_id, length))
+                                        svr.subject_id, length,
+                                        fqb, fqe, fsb, fse))
             else:
                 sigs.append(SvSignature("INS", svr.query_id, svr.qdir,
                                         fq, fq + length, fs, fs + 1,
-                                        svr.subject_id, length))
+                                        svr.subject_id, length,
+                                        fqb, fqe, fsb, fse))
     sigs.sort(key=lambda g: (g.subject_id, g.sfrom))
     return sigs

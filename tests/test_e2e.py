@@ -1,0 +1,81 @@
+"""End-to-end acceptance test: planted SVs must be recovered as VCF calls
+(the CPU-runnable analogue of the reference's chr21 truvari walkthrough,
+`install_lesv.md:243-349`; BASELINE.json config #1)."""
+
+import numpy as np
+import pytest
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.pipeline.driver import run_pipeline
+from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def e2e():
+    rng = np.random.default_rng(1234)
+    genome = random_genome(rng, 120_000)
+    donor, truth = plant_svs(rng, genome, n_del=2, n_ins=2,
+                             min_len=80, max_len=400, margin=15_000,
+                             min_gap=20_000)
+    reads = simulate_reads(rng, donor, coverage=14.0, mean_len=10_000,
+                           min_len=4_000, err=0.08)
+    cfg = LesvConfig()
+    cfg.cns.min_size = 1_000  # short synthetic reads
+    res = run_pipeline([("chr1", genome)], reads, cfg)
+    return truth, res
+
+
+def test_all_planted_svs_called(e2e):
+    truth, res = e2e
+    for sv in truth.svs:
+        near = [c for c in res.calls
+                if c.kind == sv.kind and abs(c.pos - sv.ref_pos) <= 1_000
+                and abs(c.length - sv.length) <= 0.25 * sv.length]
+        assert near, (
+            f"{sv.kind}@{sv.ref_pos} len={sv.length} missing; "
+            f"calls={[(c.kind, c.pos, c.length) for c in res.calls]}")
+
+
+def test_no_false_positives(e2e):
+    truth, res = e2e
+    false = [c for c in res.calls
+             if all(abs(c.pos - sv.ref_pos) > 1_000 for sv in truth.svs)]
+    assert not false, [(c.kind, c.pos, c.length, c.support) for c in false]
+
+
+def test_call_positions_precise(e2e):
+    truth, res = e2e
+    # consensus-corrected calls should land much tighter than truvari's
+    # 1000bp tolerance
+    for sv in truth.svs:
+        near = [c for c in res.calls
+                if c.kind == sv.kind and abs(c.pos - sv.ref_pos) <= 1_000]
+        assert near
+        best = min(near, key=lambda c: abs(c.pos - sv.ref_pos))
+        assert abs(best.pos - sv.ref_pos) <= 50
+        assert abs(best.length - sv.length) <= max(10, 0.1 * sv.length)
+
+
+def test_vcf_emission(e2e, tmp_path):
+    truth, res = e2e
+    from lesv_tpu.io.seqstore import SeqStore
+    from lesv_tpu.io.vcf import write_vcf
+    from lesv_tpu.sim import random_genome as _rg
+
+    # re-create a store with matching names for emission only
+    rng = np.random.default_rng(1234)
+    genome = _rg(rng, 120_000)
+    store = SeqStore.from_records([("chr1", genome)])
+    path = tmp_path / "out.vcf"
+    write_vcf(str(path), res.calls, store)
+    text = path.read_text()
+    assert text.startswith("##fileformat=VCFv4.2")
+    assert text.count("SVTYPE=") == len(res.calls)
+    # REF/ALT sequences are consistent with the genome
+    for line in text.splitlines():
+        if line.startswith("#"):
+            continue
+        chrom, pos, _id, ref, alt = line.split("\t")[:5]
+        p = int(pos) - 1
+        from lesv_tpu.io.fasta import decode_seq
+        assert decode_seq(genome[p : p + len(ref)]) == ref

@@ -1,0 +1,149 @@
+"""Bucketed batching of alignment jobs onto the device kernel.
+
+Ragged (query, subject) segment pairs are snapped into power-of-two shape
+buckets (the reference's caps become static shapes, SURVEY.md §7), padded,
+and solved by one `banded_align_kernel` call per bucket.  A global jit
+cache keeps one compiled executable per (batch, Qmax, Smax, W, mode).
+
+Bucket selection:
+* near-diagonal segments: W >= |ls-lq| + 2*pad, S = Q + W;
+* deletion-heavy segments (ls >> lq): full-width W = S + 1 (rectangular
+  DP is the W=S+1 special case of the banded kernel);
+* insertion-heavy segments (lq >> ls): naturally cheap, W = S + 1 small.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from lesv_tpu.config import AlignConfig
+from lesv_tpu.ops.align_np import (
+    Alignment,
+    banded_global_align,
+    extension_align,
+)
+
+_BACKEND = os.environ.get("LESV_TPU_BACKEND", "jax")
+
+_MAX_B = 64  # max lanes per kernel call
+
+
+def _next_pow2(x: int, lo: int = 64, hi: int = 1 << 17) -> int:
+    n = lo
+    while n < x:
+        n *= 2
+    return min(n, hi)
+
+
+def _seg_pad(lq: int, ls: int) -> int:
+    return max(32, int(0.12 * min(lq, ls)))
+
+
+def _bucket_of(lq: int, ls: int) -> tuple[int, int, int, str]:
+    """(Qmax, Smax, W, mode) bucket for a global segment.
+
+    diag mode requires the end diagonal |ls-lq| (plus drift pad) to fit in
+    half the band; otherwise the rectangular full-width mode is used (it is
+    cheap exactly when the subject is short).
+    """
+    Q = _next_pow2(max(lq, 1))
+    pad = _seg_pad(lq, ls)
+    need = 2 * (abs(ls - lq) + 2 * pad)
+    S = _next_pow2(ls + 1)
+    if need >= ls + 1:
+        return Q, S, S, "full"
+    W = _next_pow2(need, lo=64)
+    if W >= S:
+        return Q, S, S, "full"
+    return Q, S, W, "diag"
+
+
+def align_pairs(
+    pairs: Sequence[tuple[np.ndarray, np.ndarray]],
+    cfg: AlignConfig | None = None,
+    free_end: bool = False,
+) -> list[Alignment | None]:
+    """Align many (q, s) pairs; global by default, extension when
+    ``free_end``.  Returns Alignments (None on failure)."""
+    cfg = cfg or AlignConfig()
+    if _BACKEND == "np":
+        return _align_pairs_np(pairs, cfg, free_end)
+    return _align_pairs_jax(pairs, cfg, free_end)
+
+
+def _align_pairs_np(pairs, cfg, free_end):
+    out: list[Alignment | None] = []
+    for q, s in pairs:
+        if len(q) == 0 or len(s) == 0:
+            out.append(None)
+            continue
+        if free_end:
+            band = max(256, int(0.25 * len(q)))
+            out.append(extension_align(q, s, band, cfg=cfg))
+        else:
+            band = abs(len(s) - len(q)) + 2 * _seg_pad(len(q), len(s))
+            a = None
+            while a is None:
+                a = banded_global_align(q, s, band, cfg=cfg)
+                if band >= len(s) + 1:
+                    break
+                band *= 2
+            out.append(a)
+    return out
+
+
+def _align_pairs_jax(pairs, cfg, free_end):
+    from lesv_tpu.ops.align_jax import banded_align_batch
+    from lesv_tpu.utils.jaxinit import setup_jax
+
+    setup_jax()
+
+    results: list[Alignment | None] = [None] * len(pairs)
+    # assign buckets
+    buckets: dict[tuple[int, int, int, str], list[int]] = {}
+    for i, (q, s) in enumerate(pairs):
+        lq, ls = len(q), len(s)
+        if lq == 0 or ls == 0:
+            continue
+        if free_end:
+            W = _next_pow2(min(2 * max(256, lq // 4), ls + 1))
+            Q = _next_pow2(lq)
+            S = _next_pow2(ls + 1)
+            b = (Q, S, min(W, S), "diag" if min(W, S) < S else "full")
+        else:
+            b = _bucket_of(lq, ls)
+        buckets.setdefault(b, []).append(i)
+
+    retry: list[int] = []
+    for (Qm, Sm, W, mode), idxs in buckets.items():
+        for start in range(0, len(idxs), _MAX_B):
+            chunk = idxs[start : start + _MAX_B]
+            B = _next_pow2(len(chunk), lo=1, hi=_MAX_B)
+            qb = np.zeros((B, Qm), np.uint8)
+            sb = np.zeros((B, Sm), np.uint8)
+            qlen = np.zeros(B, np.int32)
+            slen = np.zeros(B, np.int32)
+            for j, i in enumerate(chunk):
+                q, s = pairs[i]
+                qb[j, : len(q)] = q
+                sb[j, : len(s)] = s
+                qlen[j] = len(q)
+                slen[j] = len(s)
+            out = banded_align_batch(qb, sb, qlen, slen, W, mode, cfg,
+                                     free_end=free_end)
+            for j, i in enumerate(chunk):
+                if not out["ok"][j]:
+                    retry.append(i)
+                    continue
+                n = int(out["nops"][j])
+                ops = out["ops"][j][:n].astype(np.uint8)
+                results[i] = Alignment(
+                    0, int(out["qe"][j]), 0, int(out["se"][j]),
+                    ops, score=int(out["score"][j]))
+    # band-escape retries: fall back to the host path with widening
+    for i in retry:
+        results[i] = _align_pairs_np([pairs[i]], cfg, free_end)[0]
+    return results

@@ -60,80 +60,159 @@ def _gap_band(qgap: int, sgap: int, cfg: AlignConfig) -> int:
     return dd + 2 * pad
 
 
-def align_between_anchors(q: np.ndarray, s: np.ndarray, runs: np.ndarray,
-                          cfg: AlignConfig | None = None) -> Alignment | None:
-    """Global alignment of q[runs[0].q : runs[-1].q+len) vs the matching
-    subject span, stitched from per-segment banded DPs."""
+def anchored_align_many(
+    tasks: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]],
+    cfg: AlignConfig | None = None,
+    extend: bool = True,
+) -> list[Alignment | None]:
+    """Align many (q, s, anchors, k) tasks, batching all inter-anchor
+    segments (and then all end-extension blocks) across tasks into bucketed
+    device-kernel calls.  Each result is trimmed to the 8bp-exact-match
+    invariant."""
+    from lesv_tpu.ops.align_batch import align_pairs
+
     cfg = cfg or AlignConfig()
-    if len(runs) == 0:
-        return None
-    ops: list[np.ndarray] = []
-    score = 0
-    for idx, (qo, so, ln) in enumerate(runs):
-        if idx > 0:
-            pq, ps, pl = runs[idx - 1]
-            qgap = int(qo - (pq + pl))
-            sgap = int(so - (ps + pl))
-            if qgap < 0 or sgap < 0:
-                return None  # sanitize_anchors guarantees this never fires
-            if qgap == 0 and sgap == 0:
-                pass
-            elif qgap == 0:
-                ops.append(np.full(sgap, OP_D, np.uint8))
-                score -= min(cfg.gap_open1 + sgap * cfg.gap_ext1,
-                             cfg.gap_open2 + sgap * cfg.gap_ext2)
-            elif sgap == 0:
-                ops.append(np.full(qgap, OP_I, np.uint8))
-                score -= min(cfg.gap_open1 + qgap * cfg.gap_ext1,
-                             cfg.gap_open2 + qgap * cfg.gap_ext2)
+    n = len(tasks)
+    runs_all: list[np.ndarray | None] = []
+    seg_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+    seg_owner: list[tuple[int, int]] = []   # (task, segment slot)
+    plans: list[list[tuple[str, object]] | None] = []
+    for ti, (q, s, anchors, k) in enumerate(tasks):
+        runs = sanitize_anchors(anchors, k)
+        runs_all.append(runs)
+        if len(runs) == 0:
+            plans.append(None)
+            continue
+        plan: list[tuple[str, object]] = []
+        for idx in range(len(runs)):
+            qo, so, ln = (int(v) for v in runs[idx])
+            if idx > 0:
+                pq, ps, pl = (int(v) for v in runs[idx - 1])
+                qgap = qo - (pq + pl)
+                sgap = so - (ps + pl)
+                if qgap == 0 and sgap == 0:
+                    pass
+                elif qgap == 0:
+                    plan.append(("D", sgap))
+                elif sgap == 0:
+                    plan.append(("I", qgap))
+                else:
+                    plan.append(("seg", len(seg_pairs)))
+                    seg_pairs.append((q[pq + pl : qo], s[ps + pl : so]))
+                    seg_owner.append((ti, len(plan) - 1))
+            plan.append(("M", ln))
+        plans.append(plan)
+
+    seg_out = align_pairs(seg_pairs, cfg, free_end=False)
+
+    cores: list[Alignment | None] = []
+    for ti, plan in enumerate(plans):
+        if plan is None:
+            cores.append(None)
+            continue
+        runs = runs_all[ti]
+        ops_parts: list[np.ndarray] = []
+        score = 0
+        failed = False
+        for kind, val in plan:
+            if kind == "M":
+                ops_parts.append(np.full(val, OP_M, np.uint8))
+                score += val * cfg.match
+            elif kind == "D":
+                ops_parts.append(np.full(val, OP_D, np.uint8))
+                score -= min(cfg.gap_open1 + val * cfg.gap_ext1,
+                             cfg.gap_open2 + val * cfg.gap_ext2)
+            elif kind == "I":
+                ops_parts.append(np.full(val, OP_I, np.uint8))
+                score -= min(cfg.gap_open1 + val * cfg.gap_ext1,
+                             cfg.gap_open2 + val * cfg.gap_ext2)
             else:
-                qs = q[pq + pl : qo]
-                ss = s[ps + pl : so]
-                band = _gap_band(qgap, sgap, cfg)
-                seg = None
-                while seg is None:
-                    seg = banded_global_align(qs, ss, band, cfg=cfg)
-                    if band >= len(ss) + 1:
-                        break
-                    band *= 2
+                seg = seg_out[val]
                 if seg is None:
-                    return None
-                ops.append(seg.ops)
+                    failed = True
+                    break
+                ops_parts.append(seg.ops)
                 score += seg.score
-        ops.append(np.full(int(ln), OP_M, np.uint8))
-        score += int(ln) * cfg.match
-    allops = np.concatenate(ops) if ops else np.empty(0, np.uint8)
-    q0, s0 = int(runs[0][0]), int(runs[0][1])
-    q1 = int(runs[-1][0] + runs[-1][2])
-    s1 = int(runs[-1][1] + runs[-1][2])
-    return Alignment(q0, q1, s0, s1, allops, score=score)
+        if failed:
+            cores.append(None)
+            continue
+        q0, s0 = int(runs[0][0]), int(runs[0][1])
+        q1 = int(runs[-1][0] + runs[-1][2])
+        s1 = int(runs[-1][1] + runs[-1][2])
+        cores.append(Alignment(q0, q1, s0, s1,
+                               np.concatenate(ops_parts), score=score))
 
+    # blockwise end extension, batched across tasks per direction/iteration
+    BLOCK = 2_048
+    lefts = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0) for _ in range(n)]
+    rights = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0) for _ in range(n)]
+    if extend:
+        for side in ("L", "R"):
+            # per-task tail cursors
+            active = []
+            for ti in range(n):
+                if cores[ti] is None:
+                    continue
+                active.append(ti)
+            cursors = {ti: (0, 0) for ti in active}
+            while active:
+                batch_pairs = []
+                batch_tis = []
+                for ti in active:
+                    q, s, _, _ = tasks[ti]
+                    core = cores[ti]
+                    qi, si = cursors[ti]
+                    if side == "L":
+                        qt = q[: core.qb][::-1]
+                        st = s[: core.sb][::-1]
+                    else:
+                        qt = q[core.qe :]
+                        st = s[core.se :]
+                    qb_ = qt[qi : qi + BLOCK]
+                    sb_ = st[si : si + int(BLOCK * 1.25) + 64]
+                    batch_pairs.append((qb_, sb_))
+                    batch_tis.append(ti)
+                exts = align_pairs(batch_pairs, cfg, free_end=True)
+                next_active = []
+                for ti, ext, (qb_, sb_) in zip(batch_tis, exts, batch_pairs):
+                    acc = lefts[ti] if side == "L" else rights[ti]
+                    if ext is None or len(ext.ops) == 0 or ext.score <= 0:
+                        continue
+                    acc.ops = np.concatenate([acc.ops, ext.ops])
+                    acc.qe += ext.qe
+                    acc.se += ext.se
+                    acc.score += ext.score
+                    qi, si = cursors[ti]
+                    cursors[ti] = (qi + ext.qe, si + ext.se)
+                    if ext.qe >= len(qb_) - 8 and len(qb_) == BLOCK:
+                        next_active.append(ti)
+                active = next_active
 
-def extend_end(q_tail: np.ndarray, s_tail: np.ndarray,
-               cfg: AlignConfig | None = None,
-               block: int = 2_048) -> Alignment:
-    """Blockwise extension of an unanchored tail (both arrays oriented
-    away from the anchor).  Returns the extension alignment from (0,0)."""
-    cfg = cfg or AlignConfig()
-    ops: list[np.ndarray] = []
-    qi = si = 0
-    score = 0
-    while qi < len(q_tail) and si < len(s_tail):
-        qb = q_tail[qi : qi + block]
-        sb = s_tail[si : si + int(block * 1.25) + 64]
-        band = max(256, int(0.25 * len(qb)))
-        ext = extension_align(qb, sb, band, cfg=cfg)
-        if ext is None or len(ext.ops) == 0 or ext.score <= 0:
-            break
-        ops.append(ext.ops)
-        score += ext.score
-        qi += ext.qe
-        si += ext.se
-        # keep going only if the block was (nearly) fully consumed
-        if ext.qe < len(qb) - 8:
-            break
-    allops = np.concatenate(ops) if ops else np.empty(0, np.uint8)
-    return Alignment(0, qi, 0, si, allops, score=score)
+    out: list[Alignment | None] = []
+    for ti in range(n):
+        core = cores[ti]
+        if core is None:
+            out.append(None)
+            continue
+        q, s, _, _ = tasks[ti]
+        parts = []
+        qb, qe, sb, se = core.qb, core.qe, core.sb, core.se
+        score = core.score
+        left, right = lefts[ti], rights[ti]
+        if extend and len(left.ops):
+            parts.append(left.ops[::-1])
+            qb -= left.qe
+            sb -= left.se
+            score += left.score
+        parts.append(core.ops)
+        if extend and len(right.ops):
+            parts.append(right.ops)
+            qe += right.qe
+            se += right.se
+            score += right.score
+        aln = Alignment(qb, qe, sb, se, np.concatenate(parts), score=score)
+        out.append(trim_to_exact_match(aln, q, s, cfg.end_match_len))
+    return out
 
 
 def anchored_extend(
@@ -150,28 +229,4 @@ def anchored_extend(
     coordinates of ``q``/``s`` as given.  The result is trimmed so it begins
     and ends with an ``end_match_len`` exact match.
     """
-    cfg = cfg or AlignConfig()
-    runs = sanitize_anchors(anchors, k)
-    if len(runs) == 0:
-        return None
-    core = align_between_anchors(q, s, runs, cfg)
-    if core is None:
-        return None
-    parts = [core.ops]
-    qb, qe, sb, se = core.qb, core.qe, core.sb, core.se
-    score = core.score
-    if extend:
-        left = extend_end(q[:qb][::-1], s[:sb][::-1], cfg)
-        if len(left.ops):
-            parts.insert(0, left.ops[::-1])
-            qb -= left.qe
-            sb -= left.se
-            score += left.score
-        right = extend_end(q[qe:], s[se:], cfg)
-        if len(right.ops):
-            parts.append(right.ops)
-            qe += right.qe
-            se += right.se
-            score += right.score
-    aln = Alignment(qb, qe, sb, se, np.concatenate(parts), score=score)
-    return trim_to_exact_match(aln, q, s, cfg.end_match_len)
+    return anchored_align_many([(q, s, anchors, k)], cfg, extend)[0]

@@ -1,0 +1,30 @@
+"""JAX initialization helpers: persistent compilation cache.
+
+The alignment engine jits one executable per shape bucket; the persistent
+cache makes those compiles a one-time cost per machine (important on TPU
+where XLA compiles are tens of seconds).
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    global _done
+    if _done:
+        return
+    _done = True
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "LESV_TPU_XLA_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "lesv_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

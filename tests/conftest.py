@@ -7,7 +7,9 @@ collectives run on real ICI when a pod slice is present).
 
 import os
 
+# note: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

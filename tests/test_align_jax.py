@@ -7,8 +7,7 @@ from lesv_tpu.config import AlignConfig
 from lesv_tpu.ops.align_jax import (
     OP_PAD,
     banded_align_batch,
-    diagonal_guide,
-    linear_guide,
+    guide_of,
 )
 from lesv_tpu.ops.align_np import (
     banded_global_align,
@@ -18,24 +17,24 @@ from lesv_tpu.ops.align_np import (
 from lesv_tpu.sim import mutate_read
 
 
-def _pack_batch(pairs, Qmax, Smax, W, guide_fn):
+def _run(pairs, Qmax, Smax, W, mode, cfg, free_end=False):
     B = len(pairs)
     q = np.zeros((B, Qmax), np.uint8)
     s = np.zeros((B, Smax), np.uint8)
     qlen = np.zeros(B, np.int32)
     slen = np.zeros(B, np.int32)
-    guide = np.zeros((B, Qmax + 1), np.int32)
     for i, (qi, si) in enumerate(pairs):
         q[i, : len(qi)] = qi
         s[i, : len(si)] = si
         qlen[i] = len(qi)
         slen[i] = len(si)
-        guide[i] = guide_fn(len(qi), len(si), Qmax, W)
-    return q, s, qlen, slen, guide
+    return banded_align_batch(q, s, qlen, slen, W, mode, cfg,
+                              free_end=free_end)
 
 
-@pytest.mark.parametrize("seed", range(4))
-def test_kernel_matches_oracle_global(seed):
+@pytest.mark.parametrize("mode", ["diag", "full"])
+@pytest.mark.parametrize("seed", range(3))
+def test_kernel_matches_bruteforce(seed, mode):
     rng = np.random.default_rng(seed)
     cfg = AlignConfig()
     W = 128
@@ -47,44 +46,37 @@ def test_kernel_matches_oracle_global(seed):
         pairs.append((q, s))
     Qmax = max(len(q) for q, _ in pairs)
     Smax = max(len(s) for _, s in pairs)
-    out = _run(pairs, Qmax, Smax, W, cfg)
+    if mode == "full":
+        W = 128
+        assert all(len(s) + 1 <= W for _, s in pairs)
+    out = _run(pairs, Qmax, Smax, W, mode, cfg)
     for i, (q, s) in enumerate(pairs):
         gold = global_align_bruteforce(q, s, cfg)
         assert out["ok"][i], f"lane {i} failed"
         assert out["score"][i] == gold.score, (i, out["score"][i], gold.score)
         ops = out["ops"][i][: out["nops"][i]]
         assert (ops != OP_PAD).all()
-        # op path consumes exactly q and s
         assert (ops != 2).sum() == len(q)
         assert (ops != 1).sum() == len(s)
 
 
-def _run(pairs, Qmax, Smax, W, cfg, free_end=False,
-         guide_fn=None):
-    guide_fn = guide_fn or (lambda ql, sl, Q, W_: linear_guide(ql, sl, Q, W_))
-    q, s, qlen, slen, guide = _pack_batch(pairs, Qmax, Smax, W, guide_fn)
-    return banded_align_batch(q, s, qlen, slen, guide, W, cfg,
-                              free_end=free_end)
-
-
-def test_kernel_long_gap():
+def test_kernel_full_mode_long_deletion():
+    """Asymmetric DEL segment: 100bp query vs 2100bp subject window."""
     rng = np.random.default_rng(11)
     cfg = AlignConfig()
-    s = rng.integers(0, 4, 300).astype(np.uint8)
-    q = np.concatenate([s[:100], s[200:]])  # 100bp DEL
-    W = 256
-    out = _run([(q, s)], len(q), len(s), W, cfg)
-    gold = global_align_bruteforce(q, s, cfg)
-    assert out["ok"][0] and out["score"][0] == gold.score
+    s = rng.integers(0, 4, 2100).astype(np.uint8)
+    q = np.concatenate([s[:50], s[2050:]])  # 2000bp DEL
+    out = _run([(q, s)], 128, 4096, 4096, "full", cfg)
+    assert out["ok"][0]
     ops = out["ops"][0][: out["nops"][0]]
-    # one 100-long deletion run
     from lesv_tpu.ops.cigar import op_runs
 
     opv, lens = op_runs(ops)
-    assert list(lens[opv == 2]) == [100]
+    assert 2000 in list(lens[opv == 2])
 
 
-def test_kernel_matches_banded_oracle_mixed_lengths():
+def test_kernel_diag_matches_np_guide():
+    """diag mode == np oracle with the unclipped diagonal guide."""
     rng = np.random.default_rng(5)
     cfg = AlignConfig()
     W = 128
@@ -96,9 +88,10 @@ def test_kernel_matches_banded_oracle_mixed_lengths():
         pairs.append((q, s))
     Qmax = max(len(q) for q, _ in pairs)
     Smax = max(len(s) for _, s in pairs)
-    out = _run(pairs, Qmax, Smax, W, cfg)
+    out = _run(pairs, Qmax, Smax, W, "diag", cfg)
     for i, (q, s) in enumerate(pairs):
-        gold = banded_global_align(q, s, W, cfg=cfg)
+        guide = np.arange(len(q) + 1) - W // 2
+        gold = banded_global_align(q, s, W, guide=guide, cfg=cfg)
         assert gold is not None and out["ok"][i]
         assert out["score"][i] == gold.score
         ops = out["ops"][i][: out["nops"][i]]
@@ -112,7 +105,6 @@ def test_kernel_free_end_matches_extension_oracle():
     pairs = []
     for _ in range(4):
         s = rng.integers(0, 4, 500).astype(np.uint8)
-        # query matches only the first 300 bases, then diverges
         q = np.concatenate([
             mutate_read(rng, s[:300], err=0.1),
             rng.integers(0, 4, 150).astype(np.uint8),
@@ -120,10 +112,33 @@ def test_kernel_free_end_matches_extension_oracle():
         pairs.append((q, s))
     Qmax = max(len(q) for q, _ in pairs)
     Smax = max(len(s) for _, s in pairs)
-    out = _run(pairs, Qmax, Smax, W, cfg, free_end=True,
-               guide_fn=lambda ql, sl, Q, W_: diagonal_guide(ql, sl, Q, W_))
+    out = _run(pairs, Qmax, Smax, W, "diag", cfg, free_end=True)
     for i, (q, s) in enumerate(pairs):
         gold = extension_align(q, s, W, cfg=cfg)
         assert gold is not None and out["ok"][i]
         assert out["score"][i] == gold.score
         assert out["qe"][i] == gold.qe and out["se"][i] == gold.se
+
+
+def test_align_pairs_wrapper():
+    from lesv_tpu.ops.align_batch import align_pairs
+
+    rng = np.random.default_rng(3)
+    cfg = AlignConfig()
+    pairs = []
+    golds = []
+    for _ in range(10):
+        n = int(rng.integers(60, 900))
+        s = rng.integers(0, 4, n).astype(np.uint8)
+        q = mutate_read(rng, s, err=0.12)
+        pairs.append((q, s))
+        golds.append(None)
+    # add an asymmetric deletion segment
+    s = rng.integers(0, 4, 1500).astype(np.uint8)
+    q = np.concatenate([s[:60], s[1440:]])
+    pairs.append((q, s))
+    out = align_pairs(pairs, cfg)
+    for i, ((q, s), a) in enumerate(zip(pairs, out)):
+        assert a is not None, i
+        a.validate(q, s)
+        assert a.qe == len(q) and a.se == len(s)

@@ -7,7 +7,9 @@ collectives run on real ICI when a pod slice is present).
 
 import os
 
-# note: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works
+# The axon TPU plugin registers itself from sitecustomize at interpreter
+# start, so env vars set here are too late for plugin discovery — but
+# jax.config still controls backend *selection* before first use.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -15,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -90,13 +90,24 @@ def _group_reads(group: SvGroup, qstore: SeqStore) -> list[GroupRead]:
     return out
 
 
-def _best_overlap(query: GroupRead, template: np.ndarray, cfg: LesvConfig):
-    """Best overlap of query (either strand) onto the template read."""
+def _best_overlap(query: GroupRead, template_read: GroupRead,
+                  cfg: LesvConfig):
+    """Best overlap of query (either strand) onto the template read.
+
+    The expected relative orientation (fsqdir XOR) is tried first; the
+    other strand is only searched when the expected one finds nothing
+    strong (the reference searches F_R unconditionally,
+    `cns_one_group.c:337-339`)."""
+    exp = query.fsqdir ^ template_read.fsqdir
+    order = (exp, 1 - exp)
     best = None
-    for sdir, q in ((0, query.seq), (1, revcomp(query.seq))):
-        chains = pair_chains(q, template, cfg=cfg.chain)
+    for sdir in order:
+        q = query.seq if sdir == 0 else revcomp(query.seq)
+        chains = pair_chains(q, template_read.seq, cfg=cfg.chain)
         if chains and (best is None or chains[0].score > best[0].score):
             best = (chains[0], sdir, q)
+        if best is not None and sdir == exp and best[0].score >= 1000:
+            break
     return best
 
 
@@ -106,37 +117,57 @@ def correct_one_read(
     cfg: LesvConfig,
     min_ident: float,
 ) -> GroupRead | None:
-    """One template-correction pass (reference correct_one_sv_read)."""
+    """One template-correction pass (reference correct_one_sv_read).
+
+    Overlap alignments run in device-batched waves; the reference's
+    in-order coverage cap is applied between waves."""
     ccfg = cfg.cns
-    template = reads[tmpl_idx].seq
+    tmpl_read = reads[tmpl_idx]
+    template = tmpl_read.seq
     T = len(template)
     if T == 0:
         return None
     cov = np.zeros(T, np.int64)
     all_tags: list[np.ndarray] = []
     num_added = 0
+    cands = []
     for j, other in enumerate(reads):
         if j == tmpl_idx or len(other.seq) == 0:
             continue
-        hit = _best_overlap(other, template, cfg)
+        hit = _best_overlap(other, tmpl_read, cfg)
         if hit is None:
             continue
-        chain, sdir, q = hit
-        sb, se = chain.sbeg, chain.send
-        if j >= ccfg.max_cns_cov and (cov[sb:se] >= ccfg.max_cns_cov).all():
+        cands.append((j, *hit))
+    WAVE = 16
+    idx = 0
+    full = False
+    while idx < len(cands) and not full:
+        batch_tasks = []
+        batch_meta = []
+        while idx < len(cands) and len(batch_tasks) < WAVE:
+            j, chain, sdir, q = cands[idx]
+            idx += 1
+            sb, se = chain.sbeg, chain.send
+            if j >= ccfg.max_cns_cov and (cov[sb:se] >= ccfg.max_cns_cov).all():
+                continue
+            batch_tasks.append((q, template, chain.anchors, 12))
+            batch_meta.append((j, q))
+        if not batch_tasks:
             continue
-        aln = anchored_extend(q, template, chain.anchors, k=12, cfg=cfg.align)
-        if aln is None or len(aln.ops) == 0:
-            continue
-        mm = match_mask(aln.ops, q, template, aln.qb, aln.sb)
-        pid = 100.0 * mm.sum() / len(aln.ops)
-        if pid < min_ident:
-            continue
-        cov[aln.sb : aln.se] += 1
-        num_added += 1
-        all_tags.append(tags_from_ops(aln.ops, q, aln.qb, aln.sb))
-        if num_added >= ccfg.max_cns_cov and (cov >= ccfg.max_cns_cov).all():
-            break
+        alns = anchored_align_many(batch_tasks, cfg.align)
+        for (j, q), aln in zip(batch_meta, alns):
+            if aln is None or len(aln.ops) == 0:
+                continue
+            mm = match_mask(aln.ops, q, template, aln.qb, aln.sb)
+            pid = 100.0 * mm.sum() / len(aln.ops)
+            if pid < min_ident:
+                continue
+            cov[aln.sb : aln.se] += 1
+            num_added += 1
+            all_tags.append(tags_from_ops(aln.ops, q, aln.qb, aln.sb))
+            if num_added >= ccfg.max_cns_cov and (cov >= ccfg.max_cns_cov).all():
+                full = True
+                break
     # longest >= min_cov covered segment
     ok = cov >= ccfg.min_cov
     frm = to = 0

@@ -131,6 +131,67 @@ def _hsp_contained(kept: list[M4], m: M4, eps: int = 100) -> bool:
     return False
 
 
+def map_batch(
+    batch: list[tuple[int, np.ndarray]],
+    store: SeqStore,
+    index: KmerIndex,
+    cfg: LesvConfig | None = None,
+) -> list[M4]:
+    """Map a batch of (qid, read): per-read seeding/candidate windows on
+    host, all window-chain extensions in one device-batched sweep."""
+    from lesv_tpu.ops.anchored import anchored_align_many
+
+    cfg = cfg or LesvConfig()
+    tasks = []   # (q, sseq, anchors, k)
+    meta = []    # (qid, qlen, window, chain)
+    for qid, read in batch:
+        qlen = len(read)
+        if qlen < max(cfg.map.min_query_size, index.k):
+            continue
+        matches = collect_seed_matches(index, read, cfg.seeding)
+        chains_by_dir: dict[int, list[Chain]] = {}
+        for d in (FWD, REV):
+            qo, so = matches[d]
+            chains_by_dir[d] = extract_chains_np(
+                qo, so, length=index.k, cfg=cfg.chain)
+        windows = find_candidate_windows(chains_by_dir, index, qlen, cfg)
+        for w in windows:
+            sseq = store.get(w.sid, w.sfrom, w.sto)
+            q = read if w.qdir == FWD else revcomp(read)
+            wchains = pair_chains(q, sseq, cfg=cfg.chain)
+            for c in wchains[: cfg.map.max_hsps]:
+                tasks.append((q, sseq, c.anchors, 12))
+                meta.append((qid, qlen, w, c))
+    alns = anchored_align_many(tasks, cfg.align)
+    per_qid: dict[int, list[M4]] = {}
+    for (qid, qlen, w, c), (q, sseq, _, _), aln in zip(meta, tasks, alns):
+        if aln is None:
+            continue
+        if aln.qe - aln.qb < cfg.map.qcov_hsp_res:
+            continue
+        mm = match_mask(aln.ops, q, sseq, aln.qb, aln.sb)
+        n_match = int(mm.sum())
+        pid = 100.0 * n_match / len(aln.ops) if len(aln.ops) else 0.0
+        if pid < cfg.map.perc_identity:
+            continue
+        m4 = M4(
+            qid=qid, qdir=w.qdir, qoff=aln.qb, qend=aln.qe, qsize=qlen,
+            sid=w.sid, soff=w.sfrom + aln.sb, send=w.sfrom + aln.se,
+            ssize=store.seq_size(w.sid),
+            ident_perc=pid, score=aln.score,
+            dist=len(aln.ops) - n_match, ops=aln.ops,
+        )
+        lst = per_qid.setdefault(qid, [])
+        if not _hsp_contained(lst, m4):
+            lst.append(m4)
+    out: list[M4] = []
+    for qid in sorted(per_qid):
+        lst = per_qid[qid]
+        lst.sort(key=lambda m: -m.score)
+        out.extend(lst)
+    return out
+
+
 def map_read(
     qid: int,
     read: np.ndarray,
@@ -139,43 +200,7 @@ def map_read(
     cfg: LesvConfig | None = None,
 ) -> list[M4]:
     """Map one read against the indexed subject store; return M4 records."""
-    cfg = cfg or LesvConfig()
-    qlen = len(read)
-    if qlen < max(cfg.map.min_query_size, index.k):
-        return []
-    matches = collect_seed_matches(index, read, cfg.seeding)
-    chains_by_dir: dict[int, list[Chain]] = {}
-    for d in (FWD, REV):
-        qo, so = matches[d]
-        chains_by_dir[d] = extract_chains_np(qo, so, length=index.k, cfg=cfg.chain)
-    windows = find_candidate_windows(chains_by_dir, index, qlen, cfg)
-    results: list[M4] = []
-    for w in windows:
-        sseq = store.get(w.sid, w.sfrom, w.sto)
-        q = read if w.qdir == FWD else revcomp(read)
-        wchains = pair_chains(q, sseq, cfg=cfg.chain)
-        for c in wchains[: cfg.map.max_hsps]:
-            aln = anchored_extend(q, sseq, c.anchors, k=12, cfg=cfg.align)
-            if aln is None:
-                continue
-            if aln.qe - aln.qb < cfg.map.qcov_hsp_res:
-                continue
-            mm = match_mask(aln.ops, q, sseq, aln.qb, aln.sb)
-            n_match = int(mm.sum())
-            pid = 100.0 * n_match / len(aln.ops) if len(aln.ops) else 0.0
-            if pid < cfg.map.perc_identity:
-                continue
-            m4 = M4(
-                qid=qid, qdir=w.qdir, qoff=aln.qb, qend=aln.qe, qsize=qlen,
-                sid=w.sid, soff=w.sfrom + aln.sb, send=w.sfrom + aln.se,
-                ssize=store.seq_size(w.sid),
-                ident_perc=pid, score=aln.score,
-                dist=len(aln.ops) - n_match, ops=aln.ops,
-            )
-            if not _hsp_contained(results, m4):
-                results.append(m4)
-    results.sort(key=lambda m: -m.score)
-    return results
+    return map_batch([(qid, read)], store, index, cfg)
 
 
 def map_all(
@@ -188,6 +213,9 @@ def map_all(
     cfg = cfg or LesvConfig()
     qstore = SeqStore.from_records(reads)
     out: list[M4] = []
-    for qid in range(qstore.num_seqs):
-        out.extend(map_read(qid, qstore.get(qid), store, index, cfg))
+    B = cfg.map.batch_reads
+    for start in range(0, qstore.num_seqs, B):
+        batch = [(qid, qstore.get(qid))
+                 for qid in range(start, min(start + B, qstore.num_seqs))]
+        out.extend(map_batch(batch, store, index, cfg))
     return out, qstore

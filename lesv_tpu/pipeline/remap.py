@@ -42,25 +42,18 @@ class RemapResult:
     kind: str
 
 
-def remap_read(
+def _remap_finish(
     cr: CorrectedRead,
-    sstore: SeqStore,
-    cfg: LesvConfig | None = None,
+    read: np.ndarray,
+    subject: np.ndarray,
+    aln,
+    cfg: LesvConfig,
 ) -> RemapResult | None:
-    cfg = cfg or LesvConfig()
-    read = cr.seq if cr.fsqdir == 0 else revcomp(cr.seq)
     n = len(read)
     if cr.fsqdir == 0:
         cns_qb, cns_qe = cr.cns_from, cr.cns_to
     else:
         cns_qb, cns_qe = n - cr.cns_to, n - cr.cns_from
-    subject = sstore.get(cr.subject_id, cr.fsfrom, cr.fsto)
-    chains = pair_chains(read, subject, cfg=cfg.chain)
-    if not chains:
-        return None
-    aln = anchored_extend(read, subject, chains[0].anchors, k=12, cfg=cfg.align)
-    if aln is None or len(aln.ops) == 0:
-        return None
     # clip alignment columns to the consensus subsequence [cns_qb, cns_qe)
     isq = aln.ops != OP_D
     ist = aln.ops != OP_I
@@ -101,10 +94,22 @@ def remap_all(
     sstore: SeqStore,
     cfg: LesvConfig | None = None,
 ) -> list[RemapResult]:
+    from lesv_tpu.pipeline.batch_align import chain_and_align_many
+
     cfg = cfg or LesvConfig()
-    out = []
+    pairs = []
+    reads = []
     for cr in corrected:
-        r = remap_read(cr, sstore, cfg)
+        read = cr.seq if cr.fsqdir == 0 else revcomp(cr.seq)
+        subject = sstore.get(cr.subject_id, cr.fsfrom, cr.fsto)
+        pairs.append((read, subject))
+        reads.append(read)
+    alns = chain_and_align_many(pairs, cfg)
+    out = []
+    for cr, (read, subject), aln in zip(corrected, pairs, alns):
+        if aln is None or len(aln.ops) == 0:
+            continue
+        r = _remap_finish(cr, read, subject, aln, cfg)
         if r is not None:
             out.append(r)
     out.sort(key=lambda r: (r.subject_id, r.pos))

@@ -48,15 +48,20 @@ def extract_signatures(
     cfg: LesvConfig | None = None,
     trf: TrfMask | None = None,
 ) -> list[SvSignature]:
+    from lesv_tpu.pipeline.batch_align import chain_and_align_many
+    from lesv_tpu.pipeline.sv_reads import oriented_query
+
     cfg = cfg or LesvConfig()
     sigs: list[SvSignature] = []
-    for svr in sv_reads:
-        r = realign_span(qstore, sstore, svr.query_id, svr.qdir,
-                         svr.qoff, svr.qend, svr.subject_id, svr.soff,
-                         svr.send, cfg)
-        if r is None:
+    pairs = [
+        (oriented_query(qstore, svr.query_id, svr.qdir, svr.qoff, svr.qend),
+         sstore.get(svr.subject_id, svr.soff, svr.send))
+        for svr in sv_reads
+    ]
+    alns = chain_and_align_many(pairs, cfg)
+    for svr, (q, s), aln in zip(sv_reads, pairs, alns):
+        if aln is None:
             continue
-        q, s, aln = r
         # full-reference coordinates of the (trimmed) alignment
         fsb = svr.soff + aln.sb
         fse = svr.soff + aln.se

@@ -42,10 +42,16 @@ def run_pipeline(
     cfg: LesvConfig | None = None,
     trf_intervals: dict[int, list[tuple[int, int]]] | None = None,
     out_dir: str | None = None,
+    resume: bool = False,
 ) -> PipelineResult:
+    from lesv_tpu.pipeline import stages_io as sio
+
     cfg = cfg or LesvConfig()
     timings: dict[str, float] = {}
     stats: dict[str, int] = {}
+    ckpt = out_dir if (out_dir and resume) else None
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
 
     def timed(name):
         class _T:
@@ -59,6 +65,19 @@ def run_pipeline(
 
         return _T()
 
+    def stage(name, compute, save=None, load=None):
+        """Run or resume one checkpointed stage (reference .done markers,
+        `lesv.sh:103-113`)."""
+        if ckpt and load and sio.is_done(ckpt, name):
+            log(f"[{name}] already done, loading checkpoint")
+            return load(os.path.join(ckpt, name + ".npz"))
+        with timed(name):
+            result = compute()
+        if ckpt and save:
+            save(os.path.join(ckpt, name + ".npz"), result)
+            sio.mark_done(ckpt, name)
+        return result
+
     with timed("build_ref"):
         sstore = SeqStore.from_records(ref_records)
         index = KmerIndex.build(sstore, cfg.index)
@@ -67,31 +86,40 @@ def run_pipeline(
     with timed("split"):
         reads = list(split_subreads(read_records, cfg.split))
     stats["reads"] = len(reads)
+    qstore = SeqStore.from_records(reads)
 
-    with timed("map"):
-        m4s, qstore = map_all(reads, sstore, index, cfg)
+    def _map():
+        m4s, _ = map_all(reads, sstore, index, cfg)
+        return m4s
+
+    m4s = stage("map", _map, sio.save_m4s, sio.load_m4s)
     stats["m4s"] = len(m4s)
 
-    with timed("sv_reads"):
-        svrs = select_sv_reads(m4s, qstore, sstore, cfg, trf)
+    svrs = stage("sv_reads",
+                 lambda: select_sv_reads(m4s, qstore, sstore, cfg, trf),
+                 sio.save_sv_reads, sio.load_sv_reads)
     stats["sv_reads"] = len(svrs)
 
-    with timed("signatures"):
-        sigs = extract_signatures(svrs, qstore, sstore, cfg, trf)
+    sigs = stage("signatures",
+                 lambda: extract_signatures(svrs, qstore, sstore, cfg, trf),
+                 sio.save_signatures, sio.load_signatures)
     stats["signatures"] = len(sigs)
 
     with timed("grouping"):
         groups = group_signatures(sigs, cfg)
     stats["groups"] = len(groups)
 
-    with timed("consensus"):
+    def _cns():
         corrected = []
         for g in groups:
             corrected.extend(cns_group(g, qstore, cfg))
+        return corrected
+
+    corrected = stage("consensus", _cns, sio.save_corrected, sio.load_corrected)
     stats["corrected_reads"] = len(corrected)
 
-    with timed("remap"):
-        remapped = remap_all(corrected, sstore, cfg)
+    remapped = stage("remap", lambda: remap_all(corrected, sstore, cfg),
+                     sio.save_remapped, sio.load_remapped)
     stats["remapped"] = len(remapped)
 
     with timed("call"):

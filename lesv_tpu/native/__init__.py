@@ -1,0 +1,106 @@
+"""ctypes bindings to the native host kernels, with auto-build.
+
+The .so is built on first import when a compiler is available (`make -C
+lesv_tpu/native`); every caller has a pure-numpy fallback, so the package
+degrades gracefully without g++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "liblesv_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LESV_TPU_NO_NATIVE") == "1":
+        return None
+    if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO)
+            < os.path.getmtime(os.path.join(_DIR, "lesv_native.cpp"))):
+        try:
+            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.chain_score.argtypes = [
+        ctypes.c_int64, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+    lib.extend_matches.argtypes = [
+        ctypes.c_int64, u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ctypes.c_int64, i64p, i64p, i64p]
+    lib.fccns_link_dp.argtypes = [
+        ctypes.c_int64, i64p, i64p, f64p, f64p, ctypes.c_int64, f64p, i64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def chain_score(qoff: np.ndarray, soff: np.ndarray, length: int,
+                max_dist_qry: int, max_dist_ref: int, band_width: int):
+    """Native chain-DP scoring; returns (f, p) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(qoff)
+    qoff = np.ascontiguousarray(qoff, np.int64)
+    soff = np.ascontiguousarray(soff, np.int64)
+    f = np.empty(n, np.int64)
+    p = np.empty(n, np.int64)
+    lib.chain_score(n, qoff, soff, length, max_dist_qry, max_dist_ref,
+                    band_width, f, p)
+    return f, p
+
+
+def extend_matches(q: np.ndarray, s: np.ndarray, k: int,
+                   qoff: np.ndarray, soff: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(qoff)
+    qoff = np.ascontiguousarray(qoff, np.int64).copy()
+    soff = np.ascontiguousarray(soff, np.int64).copy()
+    lens = np.empty(n, np.int64)
+    lib.extend_matches(n, np.ascontiguousarray(q, np.uint8), len(q),
+                       np.ascontiguousarray(s, np.uint8), len(s), k,
+                       qoff, soff, lens)
+    return qoff, soff, lens
+
+
+def fccns_link_dp(link_col: np.ndarray, pred_col: np.ndarray,
+                  link_w: np.ndarray, cov_pen: np.ndarray, n_cols: int):
+    lib = _load()
+    if lib is None:
+        return None
+    score = np.full(n_cols, -np.inf)
+    best_pred = np.full(n_cols, -1, np.int64)
+    lib.fccns_link_dp(
+        len(link_col),
+        np.ascontiguousarray(link_col, np.int64),
+        np.ascontiguousarray(pred_col, np.int64),
+        np.ascontiguousarray(link_w, np.float64),
+        np.ascontiguousarray(cov_pen, np.float64),
+        n_cols, score, best_pred)
+    return score, best_pred

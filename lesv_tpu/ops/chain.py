@@ -48,7 +48,17 @@ class Chain:
 def chain_score_np(qoff: np.ndarray, soff: np.ndarray, length: int,
                    cfg: ChainConfig) -> tuple[np.ndarray, np.ndarray]:
     """Chain DP forward pass. Returns (f, p): best score ending at i, and
-    best predecessor (or -1). Seeds must be sorted by (soff, qoff)."""
+    best predecessor (or -1). Seeds must be sorted by (soff, qoff).
+
+    Uses the native C++ kernel when available (same semantics)."""
+    from lesv_tpu import native
+
+    r = native.chain_score(np.asarray(qoff, np.int64),
+                           np.asarray(soff, np.int64), length,
+                           cfg.max_dist_qry, cfg.max_dist_ref,
+                           cfg.max_band_width) if len(qoff) else None
+    if r is not None:
+        return r
     n = len(qoff)
     f = np.full(n, length, dtype=np.int64)
     p = np.full(n, -1, dtype=np.int64)

@@ -130,16 +130,22 @@ def consensus_from_tags(
                                                   len(coverage) - 1)]
     # iterate links grouped by column (link_col ascending; predecessors
     # always have a strictly smaller column index)
-    score[:] = -np.inf
-    for li in range(n_links):
-        c = int(link_col[li])
-        pc = int(pred_col[li])
-        sc = link_w[li] - cov_pen[c]
-        if pc >= 0:
-            sc += score[pc]
-        if sc > score[c]:
-            score[c] = sc
-            best_pred[c] = pc
+    from lesv_tpu import native
+
+    r = native.fccns_link_dp(link_col, pred_col, link_w, cov_pen, n_cols)
+    if r is not None:
+        score, best_pred = r
+    else:
+        score[:] = -np.inf
+        for li in range(n_links):
+            c = int(link_col[li])
+            pc = int(pred_col[li])
+            sc = link_w[li] - cov_pen[c]
+            if pc >= 0:
+                sc += score[pc]
+            if sc > score[c]:
+                score[c] = sc
+                best_pred[c] = pc
     g = int(np.argmax(score))
     # traceback
     out = []

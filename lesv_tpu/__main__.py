@@ -175,20 +175,39 @@ def cmd_map(args):
     from lesv_tpu.io.fasta import read_fastx
     from lesv_tpu.io.seqstore import SeqStore, split_subreads
     from lesv_tpu.pipeline.mapper import map_all
-    from lesv_tpu.pipeline.stages_io import format_m4_text
+    from lesv_tpu.pipeline.stages_io import (
+        format_m4_text,
+        format_mapper_sam,
+        format_paf,
+    )
 
     cfg = LesvConfig()
     sstore = SeqStore.from_records(read_fastx(args.reference))
     index = KmerIndex.build(sstore, cfg.index)
     reads = list(split_subreads(read_fastx(args.reads), cfg.split))
     m4s, qstore = map_all(reads, sstore, index, cfg)
-    text = format_m4_text(m4s, qstore.name_of, sstore.name_of)
+    if args.outfmt == "m4":
+        text = format_m4_text(m4s, qstore.name_of, sstore.name_of)
+    elif args.outfmt == "paf":
+        text = format_paf(m4s, qstore.name_of, sstore.name_of)
+    else:
+        text = format_mapper_sam(m4s, qstore, sstore)
     if args.out == "-":
         sys.stdout.write(text)
     else:
         with open(args.out, "w") as fh:
             fh.write(text)
         print(f"{len(m4s)} records -> {args.out}", file=sys.stderr)
+
+
+def cmd_dump(args):
+    """qx2hbndb2fasta equivalent: store -> FASTA."""
+    from lesv_tpu.io.fasta import read_fastx, write_fasta
+    from lesv_tpu.io.seqstore import SeqStore
+
+    st = SeqStore.from_records(read_fastx(args.input))
+    write_fasta(args.out, ((st.name_of(i), st.get(i))
+                           for i in range(st.num_seqs)))
 
 
 def main(argv=None):
@@ -215,11 +234,17 @@ def main(argv=None):
     pv.add_argument("input")
     pv.set_defaults(fn=cmd_view)
 
-    pm = sub.add_parser("map", help="map reads, emit text M4")
+    pm = sub.add_parser("map", help="map reads, emit M4/PAF/SAM")
     pm.add_argument("reference")
     pm.add_argument("reads")
     pm.add_argument("-o", "--out", default="-")
+    pm.add_argument("--outfmt", choices=["m4", "paf", "sam"], default="m4")
     pm.set_defaults(fn=cmd_map)
+
+    pd = sub.add_parser("dump", help="dump a sequence DB to FASTA")
+    pd.add_argument("input")
+    pd.add_argument("out")
+    pd.set_defaults(fn=cmd_dump)
 
     args = p.parse_args(argv)
     args.fn(args)

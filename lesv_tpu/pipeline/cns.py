@@ -23,7 +23,7 @@ import numpy as np
 from lesv_tpu.config import LesvConfig
 from lesv_tpu.io.fasta import revcomp
 from lesv_tpu.io.seqstore import SeqStore
-from lesv_tpu.ops.anchored import anchored_extend
+from lesv_tpu.ops.anchored import anchored_align_many
 from lesv_tpu.ops.cigar import match_mask
 from lesv_tpu.ops.consensus import (
     consensus_from_tags,

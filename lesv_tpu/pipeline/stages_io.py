@@ -90,6 +90,55 @@ def format_m4_text(m4s: list[M4], qnames, snames) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def format_paf(m4s: list[M4], qnames, snames) -> str:
+    """PAF output (reference mapper `-outfmt paf` equivalent).
+
+    Query coordinates are converted to forward-strand (PAF convention);
+    strand column carries the mapping orientation."""
+    lines = []
+    for m in m4s:
+        if m.qdir == 0:
+            qs, qe = m.qoff, m.qend
+        else:
+            qs, qe = m.qsize - m.qend, m.qsize - m.qoff
+        if m.ops is not None:
+            alen = len(m.ops)
+            nmatch = int(round(m.ident_perc / 100.0 * alen))
+        else:
+            alen = max(m.qend - m.qoff, m.send - m.soff)
+            nmatch = int(round(m.ident_perc / 100.0 * alen))
+        lines.append("\t".join(map(str, [
+            qnames(m.qid), m.qsize, qs, qe,
+            "+" if m.qdir == 0 else "-",
+            snames(m.sid), m.ssize, m.soff, m.send,
+            nmatch, alen, 60])))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def format_mapper_sam(m4s: list[M4], qstore, sstore) -> str:
+    """SAM output for mapper results (reference `-outfmt sam` /
+    `mecat_results.c`): soft-clipped alignment per M4."""
+    from lesv_tpu.io.fasta import revcomp
+    from lesv_tpu.io.sam import cigar_string, sam_header
+
+    out = [sam_header(sstore)]
+    for m in m4s:
+        if m.ops is None:
+            continue
+        read = qstore.get(m.qid, rc=(m.qdir == 1))
+        flag = 16 if m.qdir == 1 else 0
+        cig = cigar_string(m.ops, soft_left=m.qoff,
+                           soft_right=m.qsize - m.qend)
+        from lesv_tpu.io.fasta import decode_seq
+
+        out.append("\t".join([
+            qstore.name_of(m.qid), str(flag), sstore.name_of(m.sid),
+            str(m.soff + 1), "60", cig, "*", "0", "0",
+            decode_seq(read), "*",
+            f"NM:i:{m.dist}", f"RG:Z:rg{m.sid}"]) + "\n")
+    return "".join(out)
+
+
 # ---- SvRead ----
 
 _SVR_FIELDS = ("query_id", "qdir", "qoff", "qend", "qsize",

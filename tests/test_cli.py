@@ -55,3 +55,44 @@ def test_map_cli(tmp_path, capsys):
     assert f[0] == "read1" and f[1] == "chr1"
     # soff/send columns near the truth
     assert abs(int(f[9]) - 10_000) < 200 and abs(int(f[10]) - 20_000) < 200
+
+
+def test_map_cli_paf_sam(tmp_path):
+    rng = np.random.default_rng(2)
+    genome = random_genome(rng, 50_000)
+    ref = tmp_path / "ref.fa"
+    rd = tmp_path / "reads.fa"
+    write_fasta(str(ref), [("chr1", genome)])
+    from lesv_tpu.io.fasta import revcomp
+
+    write_fasta(str(rd), [
+        ("r1", mutate_read(rng, genome[5_000:15_000], err=0.1)),
+        ("r2", revcomp(mutate_read(rng, genome[20_000:30_000], err=0.1))),
+    ])
+    paf = tmp_path / "out.paf"
+    main(["map", str(ref), str(rd), "-o", str(paf), "--outfmt", "paf"])
+    lines = paf.read_text().strip().splitlines()
+    assert len(lines) >= 2
+    r2 = [l.split("\t") for l in lines if l.startswith("r2")][0]
+    assert r2[4] == "-"
+    # fwd-strand query coords regardless of mapping strand
+    assert int(r2[2]) < 200
+    sam = tmp_path / "out.sam"
+    main(["map", str(ref), str(rd), "-o", str(sam), "--outfmt", "sam"])
+    body = [l for l in sam.read_text().splitlines() if not l.startswith("@")]
+    assert len(body) >= 2
+    f = body[0].split("\t")
+    assert f[2] == "chr1" and f[5] != "*"
+
+
+def test_dump_cli(tmp_path):
+    rng = np.random.default_rng(3)
+    recs = [("a", rng.integers(0, 4, 100).astype(np.uint8))]
+    inp = tmp_path / "in.fa"
+    outp = tmp_path / "out.fa"
+    write_fasta(str(inp), recs)
+    main(["dump", str(inp), str(outp)])
+    from lesv_tpu.io.fasta import read_fastx
+
+    back = list(read_fastx(str(outp)))
+    assert back[0][0] == "a" and np.array_equal(back[0][1], recs[0][1])

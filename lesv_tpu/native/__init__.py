@@ -50,6 +50,9 @@ def _load():
         ctypes.c_int64, i64p, i64p, i64p]
     lib.fccns_link_dp.argtypes = [
         ctypes.c_int64, i64p, i64p, f64p, f64p, ctypes.c_int64, f64p, i64p]
+    lib.traceback_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i64p,
+        u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p]
     _lib = lib
     return _lib
 
@@ -87,6 +90,30 @@ def extend_matches(q: np.ndarray, s: np.ndarray, k: int,
                        np.ascontiguousarray(s, np.uint8), len(s), k,
                        qoff, soff, lens)
     return qoff, soff, lens
+
+
+def traceback_batch(dirs_lane_major: np.ndarray, end_i: np.ndarray,
+                    end_b: np.ndarray, ok: np.ndarray, W: int,
+                    mode_diag: bool, T: int):
+    """Native alignment traceback; dirs must be (B, R, W) C-contiguous.
+
+    Returns (ops (B,T) uint8 forward order, nops, reached) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    B, R, Wd = dirs_lane_major.shape
+    assert Wd == W
+    ops = np.full((B, T), 255, np.uint8)
+    nops = np.zeros(B, np.int64)
+    reached = np.zeros(B, np.uint8)
+    lib.traceback_batch(
+        B, R, W,
+        np.ascontiguousarray(dirs_lane_major, np.uint8),
+        np.ascontiguousarray(end_i, np.int64),
+        np.ascontiguousarray(end_b, np.int64),
+        np.ascontiguousarray(ok, np.uint8),
+        1 if mode_diag else 0, T, ops, nops, reached)
+    return ops, nops, reached.astype(bool)
 
 
 def fccns_link_dp(link_col: np.ndarray, pred_col: np.ndarray,

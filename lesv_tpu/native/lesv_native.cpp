@@ -117,4 +117,71 @@ void fccns_link_dp(
     }
 }
 
+// Alignment traceback over direction bytes (see ops/align_jax.py
+// traceback_batch — identical semantics, per-lane sequential).
+// dirs: (B, R, W) uint8 with R = Qmax+1 (lane-major).
+// mode_diag: 1 for diag guide g(i)=i-W/2, 0 for full (g=0).
+// Returns per lane: ops written FORWARD into ops[b*T .. b*T+nops),
+// nops, reached flag.
+void traceback_batch(
+    int64_t B,
+    int64_t R,
+    int64_t W,
+    const uint8_t* dirs,
+    const int64_t* end_i,
+    const int64_t* end_b,
+    const uint8_t* ok,
+    int64_t mode_diag,
+    int64_t T,
+    uint8_t* ops,          // (B, T), caller-initialized to 255
+    int64_t* nops,
+    uint8_t* reached)
+{
+    const int64_t W2 = W / 2;
+    const int64_t Qmax = R - 1;
+    const int64_t d = mode_diag ? 1 : 0;
+    for (int64_t lane = 0; lane < B; ++lane) {
+        nops[lane] = 0;
+        reached[lane] = 0;
+        if (!ok[lane]) continue;
+        int64_t i = end_i[lane];
+        int64_t b = end_b[lane];
+        int64_t st = 0;
+        int64_t n = 0;
+        uint8_t* out = ops + lane * T;
+        const uint8_t* dl = dirs + lane * R * W;
+        bool good = false;
+        while (n < T) {
+            int64_t g = mode_diag ? (i - W2) : 0;
+            if (i <= 0 && g + b <= 0) { good = true; break; }
+            if (i < 0 || b < 0 || b >= W) break;
+            uint8_t byte = dl[(i < 0 ? 0 : (i > Qmax ? Qmax : i)) * W + b];
+            int64_t st_eff = st == 0 ? (byte & 7) : st;
+            if (st_eff == 0) {                  // diag / match
+                out[n++] = 0;
+                i -= 1;
+                b += d - 1;
+            } else if (st_eff <= 2) {           // E1/E2: gap in query (D)
+                out[n++] = 2;
+                bool ext = (st_eff == 1) ? (byte & 0x08) : (byte & 0x10);
+                b -= 1;
+                st = ext ? st_eff : 0;
+            } else {                            // F1/F2: gap in subject (I)
+                out[n++] = 1;
+                bool ext = (st_eff == 3) ? (byte & 0x20) : (byte & 0x40);
+                i -= 1;
+                b += d;
+                st = ext ? st_eff : 0;
+            }
+        }
+        if (!good || n == 0) continue;
+        // reverse in place
+        for (int64_t a = 0, z = n - 1; a < z; ++a, --z) {
+            uint8_t t = out[a]; out[a] = out[z]; out[z] = t;
+        }
+        nops[lane] = n;
+        reached[lane] = 1;
+    }
+}
+
 }  // extern "C"

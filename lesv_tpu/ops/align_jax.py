@@ -219,10 +219,18 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
     Qmax = R - 1
     W2 = W // 2
     d = 1 if mode == "diag" else 0
-    T = int(end_i.max() if len(end_i) else 0)
     # max path length: i steps + horizontal steps <= i + (g(i)+b)
     gmax = (end_i - W2 if mode == "diag" else np.zeros_like(end_i)) + end_b
     T = int(np.maximum(end_i + np.maximum(gmax, 0), 1).max()) + 2
+
+    from lesv_tpu import native
+
+    dirs_l = np.ascontiguousarray(dirs.transpose(1, 0, 2))
+    r = native.traceback_batch(dirs_l, end_i.astype(np.int64),
+                               end_b.astype(np.int64),
+                               ok.astype(np.uint8), W, mode == "diag", T)
+    if r is not None:
+        return r
     i = end_i.astype(np.int64).copy()
     b = end_b.astype(np.int64).copy()
     st = np.zeros(B, np.int64)
@@ -230,7 +238,6 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
     done = ~ok.copy()
     ops_rev = np.full((B, T), OP_PAD, np.uint8)
     lanes = np.arange(B)
-    dirs_l = dirs.transpose(1, 0, 2)  # (B, R, W)
     for t in range(T):
         if done.all():
             break

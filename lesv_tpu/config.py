@@ -155,7 +155,8 @@ class CallConfig:
 
     min_sig_len: int = 20        # pbsv discover -l 20
     max_ins_length: int = 30_000  # pbsv call --max-ins-length 30k
-    min_support: int = 2
+    min_support: int = 3          # pbsv call -A/-O default
+    min_support_frac: float = 0.2  # support must be >= this x local depth
     cluster_dist: int = 1_000
     cluster_len_ratio: float = 0.25
     min_sv_len: int = 30          # emitted SVs must be >= this (pbsv default)

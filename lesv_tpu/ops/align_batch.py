@@ -109,7 +109,7 @@ def _align_pairs_jax(pairs, cfg, free_end):
         if lq == 0 or ls == 0:
             continue
         if free_end:
-            W = _next_pow2(min(2 * max(256, lq // 4), ls + 1))
+            W = _next_pow2(min(max(128, lq // 2), ls + 1), lo=64)
             Q = _next_pow2(lq)
             S = _next_pow2(ls + 1)
             b = (Q, S, min(W, S), "diag" if min(W, S) < S else "full")
@@ -121,7 +121,10 @@ def _align_pairs_jax(pairs, cfg, free_end):
     for (Qm, Sm, W, mode), idxs in buckets.items():
         for start in range(0, len(idxs), _MAX_B):
             chunk = idxs[start : start + _MAX_B]
-            B = _next_pow2(len(chunk), lo=1, hi=_MAX_B)
+            # few batch buckets -> few compiled shapes (TPU compiles are
+            # expensive; padding waste is bounded at 8x only for tiny
+            # batches)
+            B = 1 if len(chunk) == 1 else (8 if len(chunk) <= 8 else _MAX_B)
             qb = np.zeros((B, Qm), np.uint8)
             sb = np.zeros((B, Sm), np.uint8)
             qlen = np.zeros(B, np.int32)

@@ -142,49 +142,55 @@ def anchored_align_many(
         cores.append(Alignment(q0, q1, s0, s1,
                                np.concatenate(ops_parts), score=score))
 
-    # blockwise end extension, batched across tasks per direction/iteration
-    BLOCK = 2_048
+    # blockwise end extension, batched across tasks per direction/iteration.
+    # Progressive block sizes: a diverging tail (the common case — the
+    # chain already covers the true overlap) is rejected by a cheap 256bp
+    # DP instead of a 2kb one (the reference's blockwise edlib_extend has
+    # the same early-out character).
+    BLOCKS = (256, 1024, 2048)
     lefts = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0) for _ in range(n)]
     rights = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0) for _ in range(n)]
     if extend:
         for side in ("L", "R"):
-            # per-task tail cursors
+            # per-task tail cursors: (q consumed, s consumed, iteration)
             active = []
             for ti in range(n):
                 if cores[ti] is None:
                     continue
                 active.append(ti)
-            cursors = {ti: (0, 0) for ti in active}
+            cursors = {ti: (0, 0, 0) for ti in active}
             while active:
                 batch_pairs = []
                 batch_tis = []
                 for ti in active:
                     q, s, _, _ = tasks[ti]
                     core = cores[ti]
-                    qi, si = cursors[ti]
+                    qi, si, it = cursors[ti]
                     if side == "L":
                         qt = q[: core.qb][::-1]
                         st = s[: core.sb][::-1]
                     else:
                         qt = q[core.qe :]
                         st = s[core.se :]
-                    qb_ = qt[qi : qi + BLOCK]
-                    sb_ = st[si : si + int(BLOCK * 1.25) + 64]
+                    block = BLOCKS[min(it, len(BLOCKS) - 1)]
+                    qb_ = qt[qi : qi + block]
+                    sb_ = st[si : si + int(block * 1.25) + 64]
                     batch_pairs.append((qb_, sb_))
                     batch_tis.append(ti)
                 exts = align_pairs(batch_pairs, cfg, free_end=True)
                 next_active = []
                 for ti, ext, (qb_, sb_) in zip(batch_tis, exts, batch_pairs):
                     acc = lefts[ti] if side == "L" else rights[ti]
+                    qi, si, it = cursors[ti]
+                    block = BLOCKS[min(it, len(BLOCKS) - 1)]
                     if ext is None or len(ext.ops) == 0 or ext.score <= 0:
                         continue
                     acc.ops = np.concatenate([acc.ops, ext.ops])
                     acc.qe += ext.qe
                     acc.se += ext.se
                     acc.score += ext.score
-                    qi, si = cursors[ti]
-                    cursors[ti] = (qi + ext.qe, si + ext.se)
-                    if ext.qe >= len(qb_) - 8 and len(qb_) == BLOCK:
+                    cursors[ti] = (qi + ext.qe, si + ext.se, it + 1)
+                    if ext.qe >= len(qb_) - 8 and len(qb_) == block:
                         next_active.append(ti)
                 active = next_active
 

@@ -100,6 +100,8 @@ def call_svs(
                 continue
             depth = sum(1 for r in results
                         if r.subject_id == sid and r.pos <= pos < r.end)
+            if support < cfg.call.min_support_frac * depth:
+                continue
             gt = "1/1" if support >= 0.75 * max(depth, 1) else "0/1"
             ssize = sstore.seq_size(sid)
             p = max(1, min(pos, ssize - 2))

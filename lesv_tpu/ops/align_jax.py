@@ -182,7 +182,9 @@ def banded_align_kernel(
               jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
     (H, E1, E2, F1, F2, _, best, best_i, best_b), dir_rows = jax.lax.scan(
         row_step, carry0, (rows, qcs, s_in))
-    dirs = jnp.concatenate([dir0[None], dir_rows], axis=0)  # (Qmax+1, B, W)
+    # lane-major layout (B, Qmax+1, W): the host traceback reads it
+    # per-lane, and a device-side transpose avoids a host copy
+    dirs = jnp.concatenate([dir0[None], dir_rows], axis=0).transpose(1, 0, 2)
 
     if free_end:
         end_i, end_b = best_i, best_b
@@ -212,10 +214,10 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
                     ok: np.ndarray, W: int, mode: str):
     """Host traceback, vectorized across lanes.
 
-    Returns (ops (B, T) uint8 forward order with OP_PAD tail, nops (B,),
-    reached_origin (B,)).
+    ``dirs`` is lane-major (B, Qmax+1, W).  Returns (ops (B, T) uint8
+    forward order with OP_PAD tail, nops (B,), reached_origin (B,)).
     """
-    R, B, _ = dirs.shape
+    B, R, _ = dirs.shape
     Qmax = R - 1
     W2 = W // 2
     d = 1 if mode == "diag" else 0
@@ -225,8 +227,7 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
 
     from lesv_tpu import native
 
-    dirs_l = np.ascontiguousarray(dirs.transpose(1, 0, 2))
-    r = native.traceback_batch(dirs_l, end_i.astype(np.int64),
+    r = native.traceback_batch(dirs, end_i.astype(np.int64),
                                end_b.astype(np.int64),
                                ok.astype(np.uint8), W, mode == "diag", T)
     if r is not None:
@@ -244,7 +245,7 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
         g = (i - W2) if mode == "diag" else np.zeros_like(i)
         at_origin = (i <= 0) & (g + b <= 0)
         done |= at_origin
-        byte = dirs_l[lanes, np.clip(i, 0, Qmax), np.clip(b, 0, W - 1)]
+        byte = dirs[lanes, np.clip(i, 0, Qmax), np.clip(b, 0, W - 1)]
         src = (byte & 7).astype(np.int64)
         st_eff = np.where(st == 0, src, st)
         is_m = st_eff == 0

@@ -38,21 +38,39 @@ def _next_pow2(x: int, lo: int = 64, hi: int = 1 << 17) -> int:
     return min(n, hi)
 
 
+# bucket dimension steps: x4 keeps the number of compiled shapes small
+# (compiles are the expensive resource on TPU; fill waste is bounded 4x
+# and the fill is cheap there). 64, 256, 1k, 4k, 16k, 64k.
+def _quant(x: int, lo: int = 64, hi: int = 1 << 18) -> int:
+    n = lo
+    while n < x:
+        n *= 4
+    return min(n, hi)
+
+
 def _seg_pad(lq: int, ls: int) -> int:
     return max(32, int(0.12 * min(lq, ls)))
 
 
-def _bucket_of(lq: int, ls: int) -> tuple[int, int, int, str]:
+def _quant_fn():
+    """Bucket quantizer: tight powers of two on CPU (fill-bound, compiles
+    cheap); x4 steps on TPU (compile-bound, fill cheap)."""
+    import jax
+
+    return _next_pow2 if jax.default_backend() == "cpu" else _quant
+
+
+def _bucket_of(lq: int, ls: int, q2) -> tuple[int, int, int, str]:
     """(Qmax, Smax, W, mode) bucket for a global segment.
 
     diag mode requires the end diagonal |ls-lq| (plus drift pad) to fit in
     half the band; otherwise the rectangular full-width mode is used (it is
     cheap exactly when the subject is short).
     """
-    Q = _next_pow2(max(lq, 1))
+    Q = q2(max(lq, 1))
     pad = _seg_pad(lq, ls)
     need = 2 * (abs(ls - lq) + 2 * pad)
-    S = _next_pow2(ls + 1)
+    S = q2(ls + 1)
     if need >= ls + 1:
         return Q, S, S, "full"
     W = _next_pow2(need, lo=64)
@@ -102,6 +120,7 @@ def _align_pairs_jax(pairs, cfg, free_end):
     setup_jax()
 
     results: list[Alignment | None] = [None] * len(pairs)
+    q2 = _quant_fn()
     # assign buckets
     buckets: dict[tuple[int, int, int, str], list[int]] = {}
     for i, (q, s) in enumerate(pairs):
@@ -110,11 +129,11 @@ def _align_pairs_jax(pairs, cfg, free_end):
             continue
         if free_end:
             W = _next_pow2(min(max(128, lq // 2), ls + 1), lo=64)
-            Q = _next_pow2(lq)
-            S = _next_pow2(ls + 1)
+            Q = q2(lq)
+            S = q2(ls + 1)
             b = (Q, S, min(W, S), "diag" if min(W, S) < S else "full")
         else:
-            b = _bucket_of(lq, ls)
+            b = _bucket_of(lq, ls, q2)
         buckets.setdefault(b, []).append(i)
 
     retry: list[int] = []

@@ -170,6 +170,36 @@ class SeqStore:
         half = sizes.sum() / 2
         return int(sizes[np.searchsorted(np.cumsum(sizes), half)])
 
+    # -- on-disk form (reference seqdb volumes / RawReadReader role) -------
+    def write(self, dirpath: str) -> None:
+        """Persist to a directory; reopen with :meth:`open` (mmap)."""
+        import os
+
+        os.makedirs(dirpath, exist_ok=True)
+        np.save(os.path.join(dirpath, "packed.npy"), self.packed)
+        np.save(os.path.join(dirpath, "starts.npy"), self.starts)
+        np.save(os.path.join(dirpath, "ambig.npy"), self.ambig)
+        with open(os.path.join(dirpath, "names.txt"), "w") as fh:
+            fh.write("\n".join(self.names))
+
+    @classmethod
+    def open(cls, dirpath: str, mmap: bool = True) -> "SeqStore":
+        """Open an on-disk store; 2-bit residues stay memory-mapped so
+        random access touches only the pages it needs (the reference's
+        RawReadReader flagged-load mechanism becomes OS paging)."""
+        import os
+
+        mode = "r" if mmap else None
+        packed = np.load(os.path.join(dirpath, "packed.npy"), mmap_mode=mode)
+        starts = np.load(os.path.join(dirpath, "starts.npy"))
+        ambig = np.load(os.path.join(dirpath, "ambig.npy"))
+        with open(os.path.join(dirpath, "names.txt")) as fh:
+            names = fh.read().split("\n") if os.path.getsize(
+                os.path.join(dirpath, "names.txt")) else []
+        st = cls(names=names, starts=starts, packed=packed, ambig=ambig)
+        st._name_to_id = {n: i for i, n in enumerate(names)}
+        return st
+
 
 # -- subread splitting -----------------------------------------------------
 

@@ -96,3 +96,18 @@ def test_fastq(tmp_path):
     back = list(read_fastx(str(path)))
     assert back[0][0] == "read1" and decode_seq(back[0][1]) == "ACGT"
     assert back[1][0] == "read2" and decode_seq(back[1][1]) == "GGTT"
+
+
+def test_seqstore_disk_roundtrip(tmp_path, rng):
+    seqs = [("a", rng.integers(0, 4, 1000).astype(np.uint8)),
+            ("b", encode_seq("ACGTNNNNACGT")),
+            ("c", rng.integers(0, 4, 77).astype(np.uint8))]
+    st = SeqStore.from_records(seqs)
+    st.write(str(tmp_path / "db"))
+    back = SeqStore.open(str(tmp_path / "db"))
+    assert back.num_seqs == 3 and back.total_res == st.total_res
+    for i, (name, codes) in enumerate(seqs):
+        assert back.name_of(i) == name
+        assert np.array_equal(back.get(i), codes)
+    assert np.array_equal(back.get(0, 100, 200, rc=True),
+                          st.get(0, 100, 200, rc=True))

@@ -53,6 +53,12 @@ def _load():
     lib.traceback_batch.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i64p,
         u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.banded_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u8p, i32p, i64p, i64p, u8p]
     _lib = lib
     return _lib
 
@@ -90,6 +96,45 @@ def extend_matches(q: np.ndarray, s: np.ndarray, k: int,
                        np.ascontiguousarray(s, np.uint8), len(s), k,
                        qoff, soff, lens)
     return qoff, soff, lens
+
+
+def banded_align_one(q: np.ndarray, s: np.ndarray, W: int, mode_diag: bool,
+                     match: int, mismatch: int, go1: int, ge1: int,
+                     go2: int, ge2: int, free_end: bool):
+    """Full native fill + traceback for one pair.
+
+    Returns (ops forward uint8, score, qe, se) or None (band escape /
+    lib unavailable)."""
+    lib = _load()
+    if lib is None:
+        return None
+    Q, S = len(q), len(s)
+    dirs = np.empty(((Q + 1), W), np.uint8)
+    score = np.zeros(1, np.int32)
+    end_i = np.zeros(1, np.int64)
+    end_b = np.zeros(1, np.int64)
+    okf = np.zeros(1, np.uint8)
+    lib.banded_fill(Q, S, np.ascontiguousarray(q, np.uint8),
+                    np.ascontiguousarray(s, np.uint8), W,
+                    1 if mode_diag else 0, match, mismatch,
+                    go1, ge1, go2, ge2, 1 if free_end else 0,
+                    dirs, score, end_i, end_b, okf)
+    if not okf[0]:
+        return None
+    W2 = W // 2 if mode_diag else 0
+    g = (end_i[0] - W2) if mode_diag else 0
+    T = int(end_i[0] + max(g + end_b[0], 0)) + 2
+    ops = np.full((1, T), 255, np.uint8)
+    nops = np.zeros(1, np.int64)
+    reached = np.zeros(1, np.uint8)
+    lib.traceback_batch(1, Q + 1, W, dirs.reshape(1, Q + 1, W),
+                        end_i, end_b, okf, 1 if mode_diag else 0, T,
+                        ops, nops, reached)
+    if not reached[0]:
+        return None
+    se = int(g + end_b[0]) if free_end else S
+    qe = int(end_i[0]) if free_end else Q
+    return ops[0, : int(nops[0])], int(score[0]), qe, se
 
 
 def traceback_batch(dirs_lane_major: np.ndarray, end_i: np.ndarray,

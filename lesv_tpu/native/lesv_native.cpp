@@ -117,6 +117,166 @@ void fccns_link_dp(
     }
 }
 
+// Banded dual-affine fill — identical recurrences to
+// ops/align_jax.banded_align_kernel (diag mode g(i)=i-W/2 / full mode
+// g=0), producing the same direction bytes. This is the host-CPU
+// execution path (the XLA:CPU scan is ~100x slower per cell); the TPU
+// kernel remains the production device path.
+static const int32_t kNeg = -(1 << 28);
+
+void banded_fill(
+    int64_t Q,              // rows to fill (qlen)
+    int64_t S,              // subject length (slen)
+    const uint8_t* q,
+    const uint8_t* s,
+    int64_t W,
+    int64_t mode_diag,
+    int64_t match,
+    int64_t mismatch,
+    int64_t go1, int64_t ge1,
+    int64_t go2, int64_t ge2,
+    int64_t free_end,
+    uint8_t* dirs,          // (Q+1, W) out
+    int32_t* out_score,     // [1]
+    int64_t* out_end_i,     // [1]
+    int64_t* out_end_b,     // [1]
+    uint8_t* out_ok)        // [1]
+{
+    const int64_t W2 = W / 2;
+    const int64_t d = mode_diag ? 1 : 0;
+    int32_t* H   = new int32_t[W];
+    int32_t* F1  = new int32_t[W];
+    int32_t* F2  = new int32_t[W];
+    int32_t* Hp  = new int32_t[W];
+    int32_t* F1p = new int32_t[W];
+    int32_t* F2p = new int32_t[W];
+    int32_t* D   = new int32_t[W];   // diag candidate per cell
+    int32_t* PRE = new int32_t[W];   // Hpre = max(diag, F1, F2)
+
+    for (int64_t b = 0; b < W; ++b) {
+        int64_t j = (mode_diag ? (0 - W2) : 0) + b;
+        int32_t e1 = (j > 0) ? (int32_t)(-go1 - j * ge1) : kNeg;
+        int32_t e2 = (j > 0) ? (int32_t)(-go2 - j * ge2) : kNeg;
+        int32_t h = (j == 0) ? 0 : (e1 > e2 ? e1 : e2);
+        bool inb = j >= 0 && j <= S;
+        H[b] = inb ? h : kNeg;
+        F1[b] = kNeg;
+        F2[b] = kNeg;
+        dirs[b] = (uint8_t)((e1 >= e2 ? 1 : 2) | 0x18);
+    }
+    int32_t best = free_end ? H[mode_diag ? W2 : 0] : kNeg;
+    int64_t best_i = 0, best_b = mode_diag ? W2 : 0;
+
+    for (int64_t i = 1; i <= Q; ++i) {
+        uint8_t* dr = dirs + i * W;
+        const int64_t g = mode_diag ? (i - W2) : 0;
+        const int32_t qc = q[i - 1];
+        std::memcpy(Hp, H, W * sizeof(int32_t));
+        std::memcpy(F1p, F1, W * sizeof(int32_t));
+        std::memcpy(F2p, F2, W * sizeof(int32_t));
+        // pass 1: diag, F, Hpre; store F-ext flags
+        for (int64_t b = 0; b < W; ++b) {
+            int64_t j = g + b;
+            int32_t hd = (d == 1) ? Hp[b] : (b >= 1 ? Hp[b - 1] : kNeg);
+            int32_t hu, f1u, f2u;
+            if (d == 1) {
+                hu  = (b + 1 < W) ? Hp[b + 1]  : kNeg;
+                f1u = (b + 1 < W) ? F1p[b + 1] : kNeg;
+                f2u = (b + 1 < W) ? F2p[b + 1] : kNeg;
+            } else {
+                hu = Hp[b]; f1u = F1p[b]; f2u = F2p[b];
+            }
+            int32_t diagv = kNeg;
+            if (j >= 1 && hd > kNeg / 2) {
+                uint8_t sc = (j <= S) ? s[j - 1] : (uint8_t)255;
+                diagv = hd + ((sc == qc) ? (int32_t)match
+                                         : (int32_t)(-mismatch));
+            }
+            int32_t f1a = hu - (int32_t)(go1 + ge1);
+            int32_t f1b = f1u - (int32_t)ge1;
+            int32_t f1 = f1a > f1b ? f1a : f1b;
+            int32_t f2a = hu - (int32_t)(go2 + ge2);
+            int32_t f2b = f2u - (int32_t)ge2;
+            int32_t f2 = f2a > f2b ? f2a : f2b;
+            F1[b] = f1;
+            F2[b] = f2;
+            D[b] = diagv;
+            int32_t hpre = diagv;
+            if (f1 > hpre) hpre = f1;
+            if (f2 > hpre) hpre = f2;
+            PRE[b] = hpre;
+            uint8_t byte = 0;
+            if (f1 == f1b) byte |= 0x20;
+            if (f2 == f2b) byte |= 0x40;
+            dr[b] = byte;
+        }
+        // pass 2: within-row E via running max, then combine
+        int64_t run1 = kNeg, run2 = kNeg;
+        int32_t e1prev = kNeg, e2prev = kNeg;
+        for (int64_t b = 0; b < W; ++b) {
+            int64_t j = g + b;
+            int32_t e1 = (b > 0 && run1 > (int64_t)kNeg / 2)
+                ? (int32_t)(run1 - go1 - j * ge1) : kNeg;
+            int32_t e2 = (b > 0 && run2 > (int64_t)kNeg / 2)
+                ? (int32_t)(run2 - go2 - j * ge2) : kNeg;
+            uint8_t byte = dr[b];
+            bool e1ext = (b == 0) || (e1 == e1prev - (int32_t)ge1);
+            bool e2ext = (b == 0) || (e2 == e2prev - (int32_t)ge2);
+            if (e1ext) byte |= 0x08;
+            if (e2ext) byte |= 0x10;
+            int32_t h = PRE[b];
+            if (e1 > h) h = e1;
+            if (e2 > h) h = e2;
+            bool inb = j >= 0 && j <= S;
+            if (!inb) h = kNeg;
+            // priority: diag, E1, E2, F1, F2 (matches the jnp.where chain)
+            uint8_t src;
+            if (h == D[b]) src = 0;
+            else if (h == e1) src = 1;
+            else if (h == e2) src = 2;
+            else if (h == F1[b]) src = 3;
+            else src = 4;
+            dr[b] = byte | src;
+            H[b] = h;
+            e1prev = e1;
+            e2prev = e2;
+            // running max uses THIS cell's Hpre (E enters at k < j)
+            if (PRE[b] > kNeg / 2) {
+                int64_t v1 = (int64_t)PRE[b] + j * ge1;
+                if (v1 > run1) run1 = v1;
+                int64_t v2 = (int64_t)PRE[b] + j * ge2;
+                if (v2 > run2) run2 = v2;
+            }
+            if (free_end && inb && h > best) {
+                best = h;
+                best_i = i;
+                best_b = b;
+            }
+        }
+    }
+
+    int64_t end_i, end_b;
+    int32_t score;
+    if (free_end) {
+        end_i = best_i;
+        end_b = best_b;
+        score = best;
+    } else {
+        end_i = Q;
+        int64_t gq = mode_diag ? (Q - W2) : 0;
+        end_b = S - gq;
+        score = (end_b >= 0 && end_b < W) ? H[end_b] : kNeg;
+    }
+    *out_score = score;
+    *out_end_i = end_i;
+    *out_end_b = end_b;
+    *out_ok = (end_b >= 0 && end_b < W && score > kNeg / 2) ? 1 : 0;
+
+    delete[] H; delete[] F1; delete[] F2;
+    delete[] Hp; delete[] F1p; delete[] F2p;
+    delete[] D; delete[] PRE;
+}
+
 // Alignment traceback over direction bytes (see ops/align_jax.py
 // traceback_batch — identical semantics, per-lane sequential).
 // dirs: (B, R, W) uint8 with R = Qmax+1 (lane-major).

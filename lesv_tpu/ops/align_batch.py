@@ -79,6 +79,20 @@ def _bucket_of(lq: int, ls: int, q2) -> tuple[int, int, int, str]:
     return Q, S, W, "diag"
 
 
+def _pick_backend() -> str:
+    if _BACKEND in ("np", "native", "jax"):
+        return _BACKEND
+    # auto: the XLA:CPU scan path is ~100x slower per cell than the
+    # native C++ fill; use native on CPU, the device kernel on TPU
+    from lesv_tpu import native as _nat
+
+    import jax
+
+    if jax.default_backend() == "cpu" and _nat.available():
+        return "native"
+    return "jax"
+
+
 def align_pairs(
     pairs: Sequence[tuple[np.ndarray, np.ndarray]],
     cfg: AlignConfig | None = None,
@@ -87,9 +101,52 @@ def align_pairs(
     """Align many (q, s) pairs; global by default, extension when
     ``free_end``.  Returns Alignments (None on failure)."""
     cfg = cfg or AlignConfig()
-    if _BACKEND == "np":
+    backend = _pick_backend()
+    if backend == "np":
         return _align_pairs_np(pairs, cfg, free_end)
+    if backend == "native":
+        return _align_pairs_native(pairs, cfg, free_end)
     return _align_pairs_jax(pairs, cfg, free_end)
+
+
+def _align_pairs_native(pairs, cfg, free_end):
+    """Per-pair native C++ fill + traceback (host path)."""
+    from lesv_tpu import native
+
+    out: list[Alignment | None] = []
+    for q, s in pairs:
+        lq, ls = len(q), len(s)
+        if lq == 0 or ls == 0:
+            out.append(None)
+            continue
+        if free_end:
+            W = min(max(128, lq // 2), ls + 1)
+            mode_diag = W < ls + 1
+        else:
+            pad = _seg_pad(lq, ls)
+            need = 2 * (abs(ls - lq) + 2 * pad)
+            if need >= ls + 1:
+                W = ls + 1
+                mode_diag = False
+            else:
+                W = need
+                mode_diag = True
+        a = None
+        while a is None:
+            r = native.banded_align_one(
+                q, s, int(W), mode_diag, cfg.match, cfg.mismatch,
+                cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,
+                free_end)
+            if r is not None:
+                ops, score, qe, se = r
+                a = Alignment(0, qe, 0, se, ops, score=score)
+                break
+            if not mode_diag or W >= ls + 1:
+                break
+            W = min(W * 2, ls + 1)
+            mode_diag = W < ls + 1
+        out.append(a)
+    return out
 
 
 def _align_pairs_np(pairs, cfg, free_end):

@@ -70,3 +70,60 @@ def test_fccns_link_dp_matches_numpy(rng):
             best[c] = pc
     assert np.allclose(sn, score)
     assert np.array_equal(bn, best)
+
+
+def test_native_fill_matches_oracle():
+    """Native banded_fill must reproduce the numpy/jnp kernel exactly."""
+    from lesv_tpu.config import AlignConfig
+    from lesv_tpu.ops.align_np import banded_global_align, extension_align
+    from lesv_tpu.sim import mutate_read
+
+    rng2 = np.random.default_rng(5)
+    cfg = AlignConfig()
+    for trial in range(12):
+        # subject must exceed the band (the oracle clamps W to S+1)
+        n = int(rng2.integers(150, 400))
+        s = rng2.integers(0, 4, n).astype(np.uint8)
+        q = mutate_read(rng2, s, err=0.12)
+        W = 128
+        r = native.banded_align_one(q, s, W, True, cfg.match, cfg.mismatch,
+                                    cfg.gap_open1, cfg.gap_ext1,
+                                    cfg.gap_open2, cfg.gap_ext2, False)
+        guide = np.arange(len(q) + 1) - W // 2
+        gold = banded_global_align(q, s, W, guide=guide, cfg=cfg)
+        assert (r is None) == (gold is None)
+        if r is None:
+            continue
+        ops, score, qe, se = r
+        assert score == gold.score
+        assert np.array_equal(ops, gold.ops)
+    # free-end extension
+    for trial in range(6):
+        s = rng2.integers(0, 4, 400).astype(np.uint8)
+        q = np.concatenate([mutate_read(rng2, s[:250], err=0.1),
+                            rng2.integers(0, 4, 100).astype(np.uint8)])
+        W = 128
+        r = native.banded_align_one(q, s, W, True, cfg.match, cfg.mismatch,
+                                    cfg.gap_open1, cfg.gap_ext1,
+                                    cfg.gap_open2, cfg.gap_ext2, True)
+        gold = extension_align(q, s, W, cfg=cfg)
+        assert r is not None and gold is not None
+        ops, score, qe, se = r
+        assert score == gold.score and qe == gold.qe and se == gold.se
+
+
+def test_native_fill_full_mode():
+    from lesv_tpu.config import AlignConfig
+    from lesv_tpu.ops.align_np import global_align_bruteforce
+
+    rng2 = np.random.default_rng(9)
+    cfg = AlignConfig()
+    s = rng2.integers(0, 4, 300).astype(np.uint8)
+    q = np.concatenate([s[:40], s[260:]])  # 220bp DEL
+    r = native.banded_align_one(q, s, len(s) + 1, False, cfg.match,
+                                cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
+                                cfg.gap_open2, cfg.gap_ext2, False)
+    gold = global_align_bruteforce(q, s, cfg)
+    assert r is not None
+    ops, score, qe, se = r
+    assert score == gold.score

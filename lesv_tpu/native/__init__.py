@@ -51,7 +51,8 @@ def _load():
     lib.fccns_link_dp.argtypes = [
         ctypes.c_int64, i64p, i64p, f64p, f64p, ctypes.c_int64, f64p, i64p]
     lib.traceback_batch.argtypes = [
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
         u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.banded_fill.argtypes = [
@@ -128,6 +129,7 @@ def banded_align_one(q: np.ndarray, s: np.ndarray, W: int, mode_diag: bool,
     nops = np.zeros(1, np.int64)
     reached = np.zeros(1, np.uint8)
     lib.traceback_batch(1, Q + 1, W, dirs.reshape(1, Q + 1, W),
+                        (Q + 1) * W, W, 1,
                         end_i, end_b, okf, 1 if mode_diag else 0, T,
                         ops, nops, reached)
     if not reached[0]:
@@ -137,23 +139,35 @@ def banded_align_one(q: np.ndarray, s: np.ndarray, W: int, mode_diag: bool,
     return ops[0, : int(nops[0])], int(score[0]), qe, se
 
 
-def traceback_batch(dirs_lane_major: np.ndarray, end_i: np.ndarray,
+def traceback_batch(dirs: np.ndarray, end_i: np.ndarray,
                     end_b: np.ndarray, ok: np.ndarray, W: int,
-                    mode_diag: bool, T: int):
-    """Native alignment traceback; dirs must be (B, R, W) C-contiguous.
+                    mode_diag: bool, T: int, layout: str = "lane"):
+    """Native alignment traceback; dirs must be C-contiguous, one of:
+    lane-major (B, R, W) (``layout="lane"``), row-major (R, B, W)
+    (``layout="row"``), or band-major (R, W, B) (``layout="rwb"``, the
+    Pallas fill's natural layout).
 
     Returns (ops (B,T) uint8 forward order, nops, reached) or None."""
     lib = _load()
     if lib is None:
         return None
-    B, R, Wd = dirs_lane_major.shape
+    if layout == "lane":
+        B, R, Wd = dirs.shape
+        lane_stride, row_stride, band_stride = R * Wd, Wd, 1
+    elif layout == "row":
+        R, B, Wd = dirs.shape
+        lane_stride, row_stride, band_stride = Wd, B * Wd, 1
+    else:
+        R, Wd, B = dirs.shape
+        lane_stride, row_stride, band_stride = 1, Wd * B, B
     assert Wd == W
     ops = np.full((B, T), 255, np.uint8)
     nops = np.zeros(B, np.int64)
     reached = np.zeros(B, np.uint8)
     lib.traceback_batch(
         B, R, W,
-        np.ascontiguousarray(dirs_lane_major, np.uint8),
+        np.ascontiguousarray(dirs, np.uint8),
+        lane_stride, row_stride, band_stride,
         np.ascontiguousarray(end_i, np.int64),
         np.ascontiguousarray(end_b, np.int64),
         np.ascontiguousarray(ok, np.uint8),

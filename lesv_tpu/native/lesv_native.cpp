@@ -283,11 +283,18 @@ void banded_fill(
 // mode_diag: 1 for diag guide g(i)=i-W/2, 0 for full (g=0).
 // Returns per lane: ops written FORWARD into ops[b*T .. b*T+nops),
 // nops, reached flag.
+// lane/row/band element strides make all dirs layouts addressable:
+// lane-major (B, R, W): (R*W, W, 1);
+// row-major  (R, B, W): (W, B*W, 1);
+// band-major (R, W, B): (1, W*B, B)  — the Pallas fill's layout.
 void traceback_batch(
     int64_t B,
     int64_t R,
     int64_t W,
     const uint8_t* dirs,
+    int64_t lane_stride,
+    int64_t row_stride,
+    int64_t band_stride,
     const int64_t* end_i,
     const int64_t* end_b,
     const uint8_t* ok,
@@ -309,13 +316,15 @@ void traceback_batch(
         int64_t st = 0;
         int64_t n = 0;
         uint8_t* out = ops + lane * T;
-        const uint8_t* dl = dirs + lane * R * W;
+        const uint8_t* dl = dirs + lane * lane_stride;
         bool good = false;
         while (n < T) {
             int64_t g = mode_diag ? (i - W2) : 0;
             if (i <= 0 && g + b <= 0) { good = true; break; }
             if (i < 0 || b < 0 || b >= W) break;
-            uint8_t byte = dl[(i < 0 ? 0 : (i > Qmax ? Qmax : i)) * W + b];
+            uint8_t byte =
+                dl[(i < 0 ? 0 : (i > Qmax ? Qmax : i)) * row_stride
+                   + b * band_stride];
             int64_t st_eff = st == 0 ? (byte & 7) : st;
             if (st_eff == 0) {                  // diag / match
                 out[n++] = 0;

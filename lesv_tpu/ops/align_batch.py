@@ -6,10 +6,18 @@ and solved by one `banded_align_kernel` call per bucket.  A global jit
 cache keeps one compiled executable per (batch, Qmax, Smax, W, mode).
 
 Bucket selection:
-* near-diagonal segments: W >= |ls-lq| + 2*pad, S = Q + W;
+* near-diagonal segments: W >= |ls-lq| + 2*pad; the subject axis is
+  collapsed to S = Q + W (the band never reads past Qmax + W), so the
+  bucket key is (Q, W) — one executable regardless of subject length;
 * deletion-heavy segments (ls >> lq): full-width W = S + 1 (rectangular
   DP is the W=S+1 special case of the banded kernel);
 * insertion-heavy segments (lq >> ls): naturally cheap, W = S + 1 small.
+
+Each bucket runs at a FIXED, size-classed batch width (`_lanes_for`):
+compiled executables are the scarce resource on TPU (minutes per shape),
+and small fills are dispatch-latency-bound, so tiny segment buckets run
+1024 lanes per call while huge fills run narrow.  Remainder chunks are
+padded up to the bucket width — one executable per bucket, ever.
 """
 
 from __future__ import annotations
@@ -28,7 +36,28 @@ from lesv_tpu.ops.align_np import (
 
 _BACKEND = os.environ.get("LESV_TPU_BACKEND", "jax")
 
-_MAX_B = 64  # max lanes per kernel call
+
+def _lanes_for(Q: int, W: int) -> int:
+    """Fixed batch width for a (Q, W) bucket, sized so one call is
+    ~10^7-10^8 cells: wide for tiny fills, narrow for huge ones.
+
+    On CPU (tests) the fill is compute-bound and padding is pure waste,
+    so widths are capped at 64."""
+    import jax
+
+    cap = 64 if jax.default_backend() == "cpu" else 1024
+    cells = Q * W
+    if cells <= 1 << 15:
+        B = 1024
+    elif cells <= 1 << 18:
+        B = 256
+    elif cells <= 1 << 21:
+        B = 64
+    elif cells <= 1 << 24:
+        B = 8
+    else:
+        B = 1
+    return min(B, cap)
 
 
 def _next_pow2(x: int, lo: int = 64, hi: int = 1 << 17) -> int:
@@ -76,7 +105,9 @@ def _bucket_of(lq: int, ls: int, q2) -> tuple[int, int, int, str]:
     W = _next_pow2(need, lo=64)
     if W >= S:
         return Q, S, S, "full"
-    return Q, S, W, "diag"
+    # diag: |ls-lq| <= W/2 so the subject fits in Q + W columns — S is
+    # not part of the bucket key
+    return Q, Q + W, W, "diag"
 
 
 def _pick_backend() -> str:
@@ -188,19 +219,27 @@ def _align_pairs_jax(pairs, cfg, free_end):
             W = _next_pow2(min(max(128, lq // 2), ls + 1), lo=64)
             Q = q2(lq)
             S = q2(ls + 1)
-            b = (Q, S, min(W, S), "diag" if min(W, S) < S else "full")
+            if W < S:
+                b = (Q, Q + W, W, "diag")   # band reads <= Qmax + W
+            else:
+                b = (Q, S, S, "full")
         else:
             b = _bucket_of(lq, ls, q2)
         buckets.setdefault(b, []).append(i)
 
+    import jax
+
+    on_cpu = jax.default_backend() == "cpu"
     retry: list[int] = []
     for (Qm, Sm, W, mode), idxs in buckets.items():
-        for start in range(0, len(idxs), _MAX_B):
-            chunk = idxs[start : start + _MAX_B]
-            # few batch buckets -> few compiled shapes (TPU compiles are
-            # expensive; padding waste is bounded at 8x only for tiny
-            # batches)
-            B = 1 if len(chunk) == 1 else (8 if len(chunk) <= 8 else _MAX_B)
+        Bfix = _lanes_for(Qm, W)
+        for start in range(0, len(idxs), Bfix):
+            chunk = idxs[start : start + Bfix]
+            # CPU: the fill is compute-bound and compiles are cheap, so
+            # shrink the padded width to the chunk; TPU: keep the fixed
+            # width (one executable per bucket)
+            B = (1 if len(chunk) == 1 else 8 if len(chunk) <= 8 else
+                 Bfix) if on_cpu else Bfix
             qb = np.zeros((B, Qm), np.uint8)
             sb = np.zeros((B, Sm), np.uint8)
             qlen = np.zeros(B, np.int32)
@@ -208,11 +247,15 @@ def _align_pairs_jax(pairs, cfg, free_end):
             for j, i in enumerate(chunk):
                 q, s = pairs[i]
                 qb[j, : len(q)] = q
-                sb[j, : len(s)] = s
+                s = s[:Sm]                  # diag: cols past Qmax+W are
+                sb[j, : len(s)] = s         # outside every band row
                 qlen[j] = len(q)
                 slen[j] = len(s)
-            out = banded_align_batch(qb, sb, qlen, slen, W, mode, cfg,
-                                     free_end=free_end)
+            from lesv_tpu.utils import profiling
+
+            with profiling.trace(f"align/{mode}/W{W}"):
+                out = banded_align_batch(qb, sb, qlen, slen, W, mode, cfg,
+                                         free_end=free_end)
             for j, i in enumerate(chunk):
                 if not out["ok"][j]:
                     retry.append(i)

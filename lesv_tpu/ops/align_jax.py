@@ -211,13 +211,22 @@ def _kernel_jit(q, s, qlen, slen, W, mode, free_end,
 
 
 def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
-                    ok: np.ndarray, W: int, mode: str):
+                    ok: np.ndarray, W: int, mode: str,
+                    layout: str = "lane"):
     """Host traceback, vectorized across lanes.
 
-    ``dirs`` is lane-major (B, Qmax+1, W).  Returns (ops (B, T) uint8
-    forward order with OP_PAD tail, nops (B,), reached_origin (B,)).
+    ``dirs`` is lane-major (B, Qmax+1, W) (``layout="lane"``),
+    row-major (Rpad, B, W) (``layout="row"``), or band-major
+    (Rpad, W, B) from the Pallas fill (``layout="rwb"``).
+    Returns (ops (B, T) uint8 forward order with OP_PAD tail, nops (B,),
+    reached_origin (B,)).
     """
-    B, R, _ = dirs.shape
+    if layout == "lane":
+        B, R, _ = dirs.shape
+    elif layout == "row":
+        R, B, _ = dirs.shape
+    else:
+        R, _, B = dirs.shape
     Qmax = R - 1
     W2 = W // 2
     d = 1 if mode == "diag" else 0
@@ -229,7 +238,8 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
 
     r = native.traceback_batch(dirs, end_i.astype(np.int64),
                                end_b.astype(np.int64),
-                               ok.astype(np.uint8), W, mode == "diag", T)
+                               ok.astype(np.uint8), W, mode == "diag", T,
+                               layout=layout)
     if r is not None:
         return r
     i = end_i.astype(np.int64).copy()
@@ -245,7 +255,12 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
         g = (i - W2) if mode == "diag" else np.zeros_like(i)
         at_origin = (i <= 0) & (g + b <= 0)
         done |= at_origin
-        byte = dirs[lanes, np.clip(i, 0, Qmax), np.clip(b, 0, W - 1)]
+        if layout == "lane":
+            byte = dirs[lanes, np.clip(i, 0, Qmax), np.clip(b, 0, W - 1)]
+        elif layout == "row":
+            byte = dirs[np.clip(i, 0, Qmax), lanes, np.clip(b, 0, W - 1)]
+        else:
+            byte = dirs[np.clip(i, 0, Qmax), np.clip(b, 0, W - 1), lanes]
         src = (byte & 7).astype(np.int64)
         st_eff = np.where(st == 0, src, st)
         is_m = st_eff == 0
@@ -282,23 +297,63 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
     return ops, n, reached
 
 
+def _use_pallas(B: int, Qmax: int, Smax: int, W: int,
+                free_end: bool) -> bool:
+    import os
+
+    flag = os.environ.get("LESV_TPU_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from lesv_tpu.ops.align_pallas import pallas_supported
+
+    return pallas_supported(B, Qmax, Smax, W, free_end)
+
+
 def banded_align_batch(q, s, qlen, slen, W: int, mode: str,
                        cfg: AlignConfig | None = None,
                        free_end: bool = False):
     """numpy in, numpy out: fill on device, traceback on host."""
     cfg = cfg or AlignConfig()
-    dirs, score, end_i, end_b, ok = _kernel_jit(
-        jnp.asarray(q, jnp.uint8), jnp.asarray(s, jnp.uint8),
-        jnp.asarray(qlen, jnp.int32), jnp.asarray(slen, jnp.int32),
-        W, mode, free_end,
-        cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
-        cfg.gap_open2, cfg.gap_ext2)
+    q = np.asarray(q, np.uint8)
+    s = np.asarray(s, np.uint8)
+    qlen = np.asarray(qlen, np.int32)
+    slen = np.asarray(slen, np.int32)
+    B = q.shape[0]
+    if _use_pallas(B, q.shape[1], s.shape[1], W, free_end):
+        from lesv_tpu.ops.align_pallas import pallas_banded_align_kernel
+
+        Bp = -(-B // 8) * 8
+        if Bp != B:
+            q = np.pad(q, ((0, Bp - B), (0, 0)))
+            s = np.pad(s, ((0, Bp - B), (0, 0)))
+            qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
+            slen = np.pad(slen, (0, Bp - B), constant_values=1)
+        dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
+            jnp.asarray(slen), W, mode, cfg, free_end=free_end)
+        layout = "rwb"
+        if Bp != B:
+            ok = ok & (jnp.arange(Bp) < B)
+    else:
+        dirs, score, end_i, end_b, ok = _kernel_jit(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
+            jnp.asarray(slen), W, mode, free_end,
+            cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
+            cfg.gap_open2, cfg.gap_ext2)
+        layout = "lane"
     dirs = np.asarray(dirs)
-    score = np.asarray(score)
+    score = np.asarray(score)[:B]
     end_i = np.asarray(end_i)
     end_b = np.asarray(end_b)
     ok = np.asarray(ok)
-    ops, nops, reached = traceback_batch(dirs, end_i, end_b, ok, W, mode)
+    ops, nops, reached = traceback_batch(dirs, end_i, end_b, ok, W, mode,
+                                         layout=layout)
+    end_i = end_i[:B]
+    end_b = end_b[:B]
+    ok = ok[:B]
+    ops, nops, reached = ops[:B], nops[:B], reached[:B]
     W2 = W // 2 if mode == "diag" else 0
     se = (end_i - W2 if mode == "diag" else np.zeros_like(end_i)) + end_b
     return {
@@ -307,5 +362,5 @@ def banded_align_batch(q, s, qlen, slen, W: int, mode: str,
         "ops": ops,
         "nops": nops,
         "qe": end_i,
-        "se": np.where(free_end, se, slen),
+        "se": np.where(free_end, se, slen[:B]),
     }

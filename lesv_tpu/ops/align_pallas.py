@@ -1,0 +1,352 @@
+"""Pallas TPU kernel for the banded dual-affine alignment fill.
+
+Same recurrences and direction-byte encoding as
+:func:`lesv_tpu.ops.align_jax.banded_align_kernel` (the XLA `lax.scan`
+formulation, itself cell-identical to the :mod:`lesv_tpu.ops.align_np`
+oracle — the ksw2-extd2 cost model of the reference,
+`/root/reference/src/algo/ksw2_extd2_sse.c`), restructured as a single
+fused kernel.
+
+Layout (measured on v5e): the band lives on the SUBLANE axis and the
+batch on the LANE axis, i.e. all DP state is (W, BT).  The recurrence
+needs ~20 shifted reads of the band per row (5 neighbour shifts +
+2 log2(W)-step prefix-max scans for the within-row affine-gap
+dependency); a lane roll costs ~10 elementwise ops on this hardware
+while a sublane roll costs ~1, so band-on-sublanes is ~3x faster than
+band-on-lanes end to end.
+
+* grid = (batch tiles, query-row tiles); DP state persists in VMEM
+  scratch across the row tiles of one batch tile;
+* per-row sequence access (query char, subject byte entering the sliding
+  band window) indexes the leading (sublane) axis of pre-shifted
+  (Rpad, B) arrays — Mosaic allows dynamic leading-dim reads, unlike
+  dynamic lane slices;
+* direction bytes stream straight to HBM in (row, band, batch) layout —
+  no post-fill transpose (the XLA path pays a full HBM round trip);
+* row tiles past the tile's longest query are skipped.
+
+The traceback stays on the host (:func:`lesv_tpu.ops.align_jax
+.traceback_batch` handles this layout via strides).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lesv_tpu.config import AlignConfig
+
+NEG = -(2**28)
+_INF32 = np.int32(2**30)
+
+
+def _tile_shape(B: int, W: int, free_end: bool) -> tuple[int, int]:
+    """(BT, QT): batch-tile and query-row-tile sizes.
+
+    VMEM budget: batch rides the LANE axis, which the hardware pads to
+    128 lanes, so all per-tile buffers cost 128 lanes regardless of BT.
+    The row body keeps ~12 live (W, 128) i32 temporaries on the Mosaic
+    stack on top of the declared scratch/blocks."""
+    BT = 128 if B >= 128 else max(8, -(-B // 8) * 8)
+    L = 128
+    n_state = 8 if free_end else 6
+    n_out = 3 if free_end else 1
+    fixed = ((n_state + 14) * W * L * 4     # scratch + live temporaries
+             + 2 * n_out * W * L * 4        # out blocks (dbl-buffered)
+             + W * L * 4)                   # win0
+    budget = 12 * 1024 * 1024 - fixed       # 16M scoped limit, ~4M slack
+    QT = budget // (2 * W * L + 16 * L)     # dirs (dbl) + q/e (i32, dbl)
+    QT = max(8, min(256, (QT // 8) * 8))
+    return BT, QT
+
+
+def pallas_supported(B: int, Qmax: int, Smax: int, W: int,
+                     free_end: bool = False) -> bool:
+    """Shape gate: per-tile buffers must fit VMEM comfortably."""
+    if W > 1024 or Qmax > (1 << 20):
+        return False
+    L = 128
+    n_state = 8 if free_end else 6
+    n_out = 3 if free_end else 1
+    fixed = (n_state + 14 + 2 * n_out + 1) * W * L * 4
+    return fixed + 8 * (2 * W * L + 16 * L) < 12 * 1024 * 1024
+
+
+def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
+                 hfin_ref, *refs,
+                 QT: int, W: int, Qmax: int, mode: str, free_end: bool,
+                 match: int, mism: int, go1: int, ge1: int, go2: int,
+                 ge2: int):
+    if free_end:
+        (bv_ref, br_ref,
+         h_s, e1_s, e2_s, f1_s, f2_s, win_s, bv_s, br2_s) = refs
+    else:
+        h_s, e1_s, e2_s, f1_s, f2_s, win_s = refs
+        bv_ref = br_ref = bv_s = br2_s = None
+    iq = pl.program_id(1)
+    BT = h_s.shape[1]
+    W2 = W // 2
+    diag_mode = mode == "diag"
+
+    bw = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)   # band slot
+    bwge1 = bw * ge1
+    bwge2 = bw * ge2
+    qlen = qlen_ref[:, :]                                  # (1, BT)
+    slen = slen_ref[:, :]
+
+    i0 = iq * QT
+    qmax_tile = jnp.max(qlen)
+
+    @pl.when(iq == 0)
+    def _init():
+        # row 0: H/E/F boundary + dir0 byte
+        js0 = (bw - W2) if diag_mode else bw
+        in0 = (js0 >= 0) & (js0 <= slen)
+        e1 = jnp.where(js0 > 0, -go1 - js0 * ge1, NEG)
+        e2 = jnp.where(js0 > 0, -go2 - js0 * ge2, NEG)
+        h = jnp.where(js0 == 0, 0, jnp.maximum(e1, e2))
+        h = jnp.where(in0, h, NEG)
+        e1 = jnp.where(in0, e1, NEG)
+        e2 = jnp.where(in0, e2, NEG)
+        h_s[:, :] = h
+        e1_s[:, :] = e1
+        e2_s[:, :] = e2
+        f1_s[:, :] = jnp.full((W, BT), NEG, jnp.int32)
+        f2_s[:, :] = jnp.full((W, BT), NEG, jnp.int32)
+        win_s[:, :] = win0_ref[:, :]
+        dir0 = jnp.where(e1 >= e2, 1, 2) | 0x18
+        dirs_ref[0] = dir0.astype(jnp.uint8)
+        if free_end:
+            bv_s[:, :] = jnp.full((W, BT), NEG, jnp.int32)
+            br2_s[:, :] = jnp.zeros((W, BT), jnp.int32)
+
+    @pl.when(i0 <= qmax_tile)
+    def _tile():
+        def shift_p1(x):        # x[b+1]  (circular roll W-1 == roll -1)
+            r = pltpu.roll(x, W - 1, axis=0)
+            return jnp.where(bw == W - 1, NEG, r)
+
+        def shift_m1(x):        # x[b-1]
+            r = pltpu.roll(x, 1, axis=0)
+            return jnp.where(bw == 0, NEG, r)
+
+        def cummax(x):
+            # inclusive prefix max along the band (sublanes)
+            k = 1
+            while k < W:
+                x = jnp.maximum(x, jnp.where(bw >= k,
+                                             pltpu.roll(x, k, axis=0), NEG))
+                k *= 2
+            return x
+
+        def row(li, _):
+            H = h_s[:, :]
+            E1 = e1_s[:, :]
+            E2 = e2_s[:, :]
+            F1 = f1_s[:, :]
+            F2 = f2_s[:, :]
+            swin = win_s[:, :]
+            i = i0 + li
+            qc = q_ref[pl.ds(li, 1), :]                    # (1, BT)
+            if diag_mode:
+                # advance the window: swin becomes s_pad[i : i+W]
+                ent = e_ref[pl.ds(li, 1), :]
+                swin = jnp.where(bw == W - 1, ent,
+                                 pltpu.roll(swin, W - 1, axis=0))
+                win_s[:, :] = swin
+            js = ((i - W2) + bw) if diag_mode else bw
+            inb = (js >= 0) & (js <= slen)
+            if diag_mode:
+                Hd = H
+                Hu = shift_p1(H)
+                F1u = shift_p1(F1)
+                F2u = shift_p1(F2)
+            else:
+                Hd = shift_m1(H)
+                Hu = H
+                F1u = F1
+                F2u = F2
+            sub = jnp.where(swin == qc, match, -mism)
+            # (js >= 1) is implied: the diag source cell was itself
+            # NEG-masked out of band at its own row when js-1 < 0
+            diag = jnp.where((js >= 1) & (Hd > NEG // 2), Hd + sub, NEG)
+            F1e = F1u - ge1
+            F2e = F2u - ge2
+            F1n = jnp.maximum(Hu - (go1 + ge1), F1e)
+            F2n = jnp.maximum(Hu - (go2 + ge2), F2e)
+            F1ext = F1n == F1e
+            F2ext = F2n == F2e
+            Hpre = jnp.maximum(diag, jnp.maximum(F1n, F2n))
+            jge1 = bwge1 + (i - W2) * ge1 if diag_mode else bwge1
+            jge2 = bwge2 + (i - W2) * ge2 if diag_mode else bwge2
+            base1 = jnp.where(Hpre > NEG // 2, Hpre + jge1, NEG)
+            run1 = cummax(base1)
+            E1n = jnp.where(bw == 0, NEG, pltpu.roll(run1, 1, axis=0))
+            E1n = jnp.where(E1n > NEG // 2, E1n - go1 - jge1, NEG)
+            base2 = jnp.where(Hpre > NEG // 2, Hpre + jge2, NEG)
+            run2 = cummax(base2)
+            E2n = jnp.where(bw == 0, NEG, pltpu.roll(run2, 1, axis=0))
+            E2n = jnp.where(E2n > NEG // 2, E2n - go2 - jge2, NEG)
+            E1ext = (bw == 0) | (E1n == shift_m1(E1n) - ge1)
+            E2ext = (bw == 0) | (E2n == shift_m1(E2n) - ge2)
+            Hn = jnp.maximum(Hpre, jnp.maximum(E1n, E2n))
+            Hn = jnp.where(inb, Hn, NEG)
+            src = jnp.where(Hn == diag, 0,
+                  jnp.where(Hn == E1n, 1,
+                  jnp.where(Hn == E2n, 2,
+                  jnp.where(Hn == F1n, 3, 4))))
+            dirsb = (src
+                     | (E1ext.astype(jnp.int32) << 3)
+                     | (E2ext.astype(jnp.int32) << 4)
+                     | (F1ext.astype(jnp.int32) << 5)
+                     | (F2ext.astype(jnp.int32) << 6)).astype(jnp.uint8)
+
+            @pl.when(i >= 1)
+            def _store():
+                dirs_ref[li] = dirsb
+
+            active = (i >= 1) & (i <= qlen)                # (1, BT)
+            h_s[:, :] = jnp.where(active, Hn, H)
+            e1_s[:, :] = jnp.where(active, E1n, E1)
+            e2_s[:, :] = jnp.where(active, E2n, E2)
+            f1_s[:, :] = jnp.where(active, F1n, F1)
+            f2_s[:, :] = jnp.where(active, F2n, F2)
+            if free_end:
+                bv = bv_s[:, :]
+                upd = active & (Hn > bv)
+                bv_s[:, :] = jnp.where(upd, Hn, bv)
+                br2_s[:, :] = jnp.where(upd, i, br2_s[:, :])
+            return 0
+
+        hi = jnp.minimum(QT, Qmax + 1 - i0)
+        jax.lax.fori_loop(0, hi, row, 0)
+
+    hfin_ref[:, :] = h_s[:, :]
+    if free_end:
+        bv_ref[:, :] = bv_s[:, :]
+        br_ref[:, :] = br2_s[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "mode", "free_end", "match", "mismatch", "go1",
+                     "ge1", "go2", "ge2", "interpret"))
+def _pallas_fill_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
+                     go1, ge1, go2, ge2, interpret=False):
+    """Launch the fill; returns (dirs (Rpad, W, B) u8, Hfin (B, W),
+    bestv (B, W), bestr (B, W))."""
+    B, Qmax = q.shape
+    W2 = W // 2
+    BT, QT = _tile_shape(B, W, free_end)
+    assert B % BT == 0
+    nq = -(-(Qmax + 1) // QT)
+    Rpad = nq * QT
+    nb = B // BT
+
+    # padded subject (mirrors align_jax s_pad): window for row i is
+    # s_pad[:, i : i+W] (diag) / s_pad[:, 0:W] (full)
+    pad_l = W2 + 1 if mode == "diag" else 1
+    sw = pad_l + max(W, s.shape[1],
+                     Qmax + W + 2 if mode == "diag" else 0)
+    s_pad = jnp.full((B, sw), 255, jnp.uint8)
+    s_pad = jax.lax.dynamic_update_slice(s_pad, s, (0, pad_l))
+    if mode == "diag":
+        win0 = jax.lax.dynamic_slice(s_pad, (0, 0), (B, W))
+        # subject byte entering the window at row i: s_pad[:, i+W-1]
+        e_in = jax.lax.dynamic_slice(
+            jnp.pad(s_pad, ((0, 0), (0, Rpad + W)), constant_values=255),
+            (0, W - 1), (B, Rpad))
+    else:
+        win0 = jax.lax.dynamic_slice(
+            jnp.pad(s_pad, ((0, 0), (0, W)), constant_values=255),
+            (0, 0), (B, W))
+        e_in = jnp.zeros((B, Rpad), jnp.uint8)
+    if mode == "diag":
+        # pre-window one step before row 0 (the kernel advances before
+        # using the window at every row, including the dummy row 0)
+        win0 = jnp.concatenate(
+            [jnp.full((B, 1), 255, jnp.uint8), win0[:, : W - 1]], axis=1)
+    # q char consumed at row i: q[:, i-1]  ->  qs[:, i] = q[:, i-1]
+    qs = jnp.pad(q, ((0, 0), (1, 0)))
+    qs = jnp.pad(qs, ((0, 0), (0, Rpad - qs.shape[1])))
+
+    kern = functools.partial(
+        _fill_kernel, QT=QT, W=W, Qmax=Qmax, mode=mode, free_end=free_end,
+        match=match, mism=mismatch, go1=go1, ge1=ge1, go2=go2, ge2=ge2)
+    grid = (nb, nq)
+    n_out = 3 if free_end else 1
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((Rpad, W, B), jnp.uint8)]
+        + [jax.ShapeDtypeStruct((W, B), jnp.int32)] * n_out)
+    scratch = [pltpu.VMEM((W, BT), jnp.int32)
+               for _ in range(8 if free_end else 6)]
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BT), lambda ib, iq: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT), lambda ib, iq: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, BT), lambda ib, iq: (iq, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, BT), lambda ib, iq: (iq, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, BT), lambda ib, iq: (0, ib),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            [pl.BlockSpec((QT, W, BT), lambda ib, iq: (iq, 0, ib),
+                          memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((W, BT), lambda ib, iq: (0, ib),
+                            memory_space=pltpu.VMEM)] * n_out),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qlen[None, :], slen[None, :], qs.T.astype(jnp.int32),
+      e_in.T.astype(jnp.int32), win0.T.astype(jnp.int32))
+    if free_end:
+        dirs, hfin, bestv, bestr = out
+        return dirs, hfin.T, bestv.T, bestr.T
+    dirs, hfin = out
+    return dirs, hfin.T, None, None
+
+
+def pallas_banded_align_kernel(q, s, qlen, slen, W: int, mode: str,
+                               cfg: AlignConfig, free_end: bool = False,
+                               interpret: bool = False):
+    """Drop-in fill matching `align_jax.banded_align_kernel` outputs,
+    except ``dirs`` is (Rpad, W, B) with Rpad >= Qmax+1 (row, band,
+    batch)."""
+    B, Qmax = q.shape
+    W2 = W // 2
+    dirs, hfin, bestv, bestr = _pallas_fill_jit(
+        q, s, qlen, slen, W, mode, free_end, cfg.match, cfg.mismatch,
+        cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,
+        interpret=interpret)
+    if free_end:
+        best = jnp.max(bestv, axis=1)
+        hit = bestv == best[:, None]
+        rows = jnp.where(hit, bestr, _INF32)
+        rmin = jnp.min(rows, axis=1)
+        end_b = jnp.argmax(hit & (bestr == rmin[:, None]), axis=1)
+        end_b = end_b.astype(jnp.int32)
+        # "nothing beats the origin" reproduces the scan kernel exactly:
+        # best stays at H(0, origin)=0, end=(0, 0)
+        none = best <= 0
+        score = jnp.where(none, 0, best)
+        end_i = jnp.where(none, 0, rmin)
+        end_b = jnp.where(none, 0, end_b)
+    else:
+        end_i = qlen
+        gq = (qlen - W2) if mode == "diag" else jnp.zeros_like(qlen)
+        end_b = slen - gq
+        score = jnp.take_along_axis(
+            hfin, jnp.clip(end_b, 0, W - 1)[:, None], axis=1)[:, 0]
+    ok = (end_b >= 0) & (end_b < W) & (score > NEG // 2)
+    return dirs, score, end_i, end_b, ok

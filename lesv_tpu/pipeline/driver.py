@@ -26,6 +26,7 @@ from lesv_tpu.pipeline.mapper import map_all
 from lesv_tpu.pipeline.remap import remap_all
 from lesv_tpu.pipeline.signatures import extract_signatures
 from lesv_tpu.pipeline.sv_reads import TrfMask, select_sv_reads
+from lesv_tpu.utils import profiling
 from lesv_tpu.utils.logging import log
 
 
@@ -36,6 +37,19 @@ class PipelineResult:
     stats: dict[str, int] = field(default_factory=dict)
 
 
+def _with_device_trace(fn):
+    """Wrap in the JAX device profiler when LESV_TPU_PROFILE is set."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with profiling.device_trace():
+            return fn(*a, **kw)
+
+    return wrapped
+
+
+@_with_device_trace
 def run_pipeline(
     ref_records,
     read_records,
@@ -61,6 +75,7 @@ def run_pipeline(
 
             def __exit__(self, *a):
                 timings[name] = time.time() - self.t0
+                profiling.add("stage/" + name, timings[name])
                 log(f"[{name}] {timings[name]:.2f}s")
 
         return _T()
@@ -136,5 +151,6 @@ def run_pipeline(
                     r.ops, r.seq, f"rg{r.subject_id}",
                     tags={"gi": r.group_id}))
         write_vcf(os.path.join(out_dir, "calls.vcf"), calls, sstore)
+        profiling.dump_json(os.path.join(out_dir, "profile.json"))
 
     return PipelineResult(calls=calls, timings=timings, stats=stats)

@@ -299,12 +299,15 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
 
 def _use_pallas(B: int, Qmax: int, Smax: int, W: int,
                 free_end: bool) -> bool:
+    """Pallas gate: "auto" uses the fused kernel on TPU when the band
+    fits VMEM; "0" forces the XLA scan; "interp" forces the Pallas
+    branch in interpreter mode on any backend (integration testing)."""
     import os
 
     flag = os.environ.get("LESV_TPU_PALLAS", "auto")
     if flag == "0":
         return False
-    if jax.default_backend() == "cpu":
+    if flag != "interp" and jax.default_backend() == "cpu":
         return False
     from lesv_tpu.ops.align_pallas import pallas_supported
 
@@ -330,9 +333,12 @@ def banded_align_batch(q, s, qlen, slen, W: int, mode: str,
             s = np.pad(s, ((0, Bp - B), (0, 0)))
             qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
             slen = np.pad(slen, (0, Bp - B), constant_values=1)
+        import os
+
         dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
             jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
-            jnp.asarray(slen), W, mode, cfg, free_end=free_end)
+            jnp.asarray(slen), W, mode, cfg, free_end=free_end,
+            interpret=os.environ.get("LESV_TPU_PALLAS") == "interp")
         layout = "rwb"
         if Bp != B:
             ok = ok & (jnp.arange(Bp) < B)

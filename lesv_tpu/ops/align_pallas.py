@@ -42,27 +42,69 @@ from jax.experimental.pallas import tpu as pltpu
 from lesv_tpu.config import AlignConfig
 
 NEG = -(2**28)
+NEG16 = -16384          # i16 sentinel (see _i16_ok for the bound proof)
 _INF32 = np.int32(2**30)
 
 
-def _tile_shape(B: int, W: int, free_end: bool) -> tuple[int, int]:
+def _tile_shape(B: int, W: int, free_end: bool,
+                esz: int = 4) -> tuple[int, int]:
     """(BT, QT): batch-tile and query-row-tile sizes.
 
     VMEM budget: batch rides the LANE axis, which the hardware pads to
     128 lanes, so all per-tile buffers cost 128 lanes regardless of BT.
-    The row body keeps ~12 live (W, 128) i32 temporaries on the Mosaic
-    stack on top of the declared scratch/blocks."""
+    The row body keeps ~12 live (W, 128) temporaries on the Mosaic
+    stack on top of the declared scratch/blocks.  ``esz`` is the DP
+    state element size (4 for i32, 2 for the i16 variant)."""
     BT = 128 if B >= 128 else max(8, -(-B // 8) * 8)
     L = 128
     n_state = 8 if free_end else 6
     n_out = 3 if free_end else 1
-    fixed = ((n_state + 14) * W * L * 4     # scratch + live temporaries
-             + 2 * n_out * W * L * 4        # out blocks (dbl-buffered)
+    fixed = ((n_state + 14) * W * L * esz   # scratch + live temporaries
+             + 2 * n_out * W * L * esz      # out blocks (dbl-buffered)
              + W * L * 4)                   # win0
     budget = 12 * 1024 * 1024 - fixed       # 16M scoped limit, ~4M slack
     QT = budget // (2 * W * L + 16 * L)     # dirs (dbl) + q/e (i32, dbl)
     QT = max(8, min(256, (QT // 8) * 8))
     return BT, QT
+
+
+def _i16_ok(Qmax: int, W: int, match: int, mism: int, go1: int, ge1: int,
+            go2: int, ge2: int) -> bool:
+    """True when the i16 kernel is bit-identical to the i32 kernel.
+
+    The DP is a max over paths, so every valid in-band cell has
+    H >= -(mism*Qmax + gpath) (all-mismatch diagonal plus one gap run of
+    length <= Qmax + W at the cheaper of the two affine costs); E/F
+    registers sit at most gmax_reg = max(go + ge*(W+1)) below an H value
+    on any traceback-relevant chain.  Three conditions make i16 exact:
+
+    1. THR separation: every traceback-relevant register value clears
+       THR = NEG16 + gmax_reg + 16, so the mask tests agree with i32's
+       NEG//2 tests wherever the traceback can look.
+    2. No wraparound: masked F registers drift down ge per row from
+       NEG16 (or from a real value that lost its H source), bounded by
+       hmin + go + Qmax*ge + gmax_reg; that must stay above i16 min,
+       otherwise modular arithmetic could poison a max.
+    3. Positive side: match*Qmax + ge*(W+1) within range.
+
+    Cells the traceback cannot visit may hold different bytes than the
+    i32 kernel (deep drifted values clamp at THR differently) — scores,
+    endpoints, and decoded op paths are identical (tests assert this)."""
+    ge = max(ge1, ge2)
+    gmax_reg = max(go1 + ge1 * (W + 1), go2 + ge2 * (W + 1))
+    L = Qmax + W
+    gpath = min(go1 + ge1 * L, go2 + ge2 * L)
+    hmin = mism * Qmax + gpath
+    real_reg_min = hmin + gmax_reg + max(go1 + ge1, go2 + ge2)
+    if real_reg_min >= 16384 - gmax_reg - 64:       # THR separation
+        return False
+    if 16384 + go1 + go2 + Qmax * ge + gmax_reg + 128 >= 32768:
+        return False                                # sentinel drift wrap
+    if hmin + go1 + go2 + Qmax * ge + gmax_reg + 128 >= 32768:
+        return False                                # real drift wrap
+    if match * Qmax + ge * (W + 1) >= 16000:        # positive overflow
+        return False
+    return True
 
 
 def pallas_supported(B: int, Qmax: int, Smax: int, W: int,
@@ -81,7 +123,7 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
                  hfin_ref, *refs,
                  QT: int, W: int, Qmax: int, mode: str, free_end: bool,
                  match: int, mism: int, go1: int, ge1: int, go2: int,
-                 ge2: int):
+                 ge2: int, i16: bool = False):
     if free_end:
         (bv_ref, br_ref,
          h_s, e1_s, e2_s, f1_s, f2_s, win_s, bv_s, br2_s) = refs
@@ -92,10 +134,20 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
     BT = h_s.shape[1]
     W2 = W // 2
     diag_mode = mode == "diag"
+    # i16 variant: same recurrences at half the register pressure; the
+    # _i16_ok gate guarantees no value can leave i16 range, so cells are
+    # bit-identical to the i32 kernel.  jge rebases by the row constant
+    # (i-W2)*ge, which cancels between the scan and the reconstruction,
+    # so only bw*ge (bounded by ge*(W+1)) enters the arithmetic.
+    dt = jnp.int16 if i16 else jnp.int32
+    NEG = NEG16 if i16 else -(2**28)
+    ge = max(ge1, ge2)
+    gmax = max(go1 + ge1 * (W + 1), go2 + ge2 * (W + 1))
+    THR = (NEG16 + gmax + 16) if i16 else NEG // 2
 
     bw = jax.lax.broadcasted_iota(jnp.int32, (W, BT), 0)   # band slot
-    bwge1 = bw * ge1
-    bwge2 = bw * ge2
+    bwge1 = (bw * ge1).astype(dt)
+    bwge2 = (bw * ge2).astype(dt)
     qlen = qlen_ref[:, :]                                  # (1, BT)
     slen = slen_ref[:, :]
 
@@ -104,7 +156,8 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
 
     @pl.when(iq == 0)
     def _init():
-        # row 0: H/E/F boundary + dir0 byte
+        # row 0: H/E/F boundary + dir0 byte.  Computed in i32 (masks on
+        # i16 data would need unsupported i1 relayouts), cast at store.
         js0 = (bw - W2) if diag_mode else bw
         in0 = (js0 >= 0) & (js0 <= slen)
         e1 = jnp.where(js0 > 0, -go1 - js0 * ge1, NEG)
@@ -113,36 +166,87 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
         h = jnp.where(in0, h, NEG)
         e1 = jnp.where(in0, e1, NEG)
         e2 = jnp.where(in0, e2, NEG)
-        h_s[:, :] = h
-        e1_s[:, :] = e1
-        e2_s[:, :] = e2
-        f1_s[:, :] = jnp.full((W, BT), NEG, jnp.int32)
-        f2_s[:, :] = jnp.full((W, BT), NEG, jnp.int32)
+        h_s[:, :] = h.astype(dt)
+        e1_s[:, :] = e1.astype(dt)
+        e2_s[:, :] = e2.astype(dt)
+        f1_s[:, :] = jnp.full((W, BT), NEG, dt)
+        f2_s[:, :] = jnp.full((W, BT), NEG, dt)
         win_s[:, :] = win0_ref[:, :]
         dir0 = jnp.where(e1 >= e2, 1, 2) | 0x18
         dirs_ref[0] = dir0.astype(jnp.uint8)
         if free_end:
-            bv_s[:, :] = jnp.full((W, BT), NEG, jnp.int32)
-            br2_s[:, :] = jnp.zeros((W, BT), jnp.int32)
+            bv_s[:, :] = jnp.full((W, BT), NEG, dt)
+            br2_s[:, :] = jnp.zeros((W, BT), dt)
 
     @pl.when(i0 <= qmax_tile)
     def _tile():
-        def shift_p1(x):        # x[b+1]  (circular roll W-1 == roll -1)
-            r = pltpu.roll(x, W - 1, axis=0)
-            return jnp.where(bw == W - 1, NEG, r)
+        # i16: Mosaic has no 16-bit sublane rotate on current libtpu, but
+        # static slice+concatenate lowers fine and folds the edge mask
+        # into the fill rows.  i32 keeps the measured-faster roll form.
+        import os as _os
 
-        def shift_m1(x):        # x[b-1]
-            r = pltpu.roll(x, 1, axis=0)
-            return jnp.where(bw == 0, NEG, r)
+        if i16 or _os.environ.get("LESV_TPU_SHIFT") == "concat":
+            def shift_p1(x):    # x[b+1]
+                return jnp.concatenate(
+                    [x[1:], jnp.full((1, BT), NEG, x.dtype)], axis=0)
 
-        def cummax(x):
-            # inclusive prefix max along the band (sublanes)
-            k = 1
-            while k < W:
-                x = jnp.maximum(x, jnp.where(bw >= k,
-                                             pltpu.roll(x, k, axis=0), NEG))
-                k *= 2
-            return x
+            def shift_m1(x):    # x[b-1]
+                return jnp.concatenate(
+                    [jnp.full((1, BT), NEG, x.dtype), x[:-1]], axis=0)
+
+            def cummax(x):
+                # inclusive prefix max along the band (sublanes)
+                k = 1
+                while k < W:
+                    x = jnp.maximum(x, jnp.concatenate(
+                        [jnp.full((k, BT), NEG, x.dtype), x[:-k]], axis=0))
+                    k *= 2
+                return x
+        else:
+            def shift_p1(x):    # x[b+1]  (circular roll W-1 == roll -1)
+                r = pltpu.roll(x, W - 1, axis=0)
+                return jnp.where(bw == W - 1, NEG, r)
+
+            def shift_m1(x):    # x[b-1]
+                r = pltpu.roll(x, 1, axis=0)
+                return jnp.where(bw == 0, NEG, r)
+
+            def cummax(x):
+                # inclusive prefix max along the band (sublanes)
+                k = 1
+                while k < W:
+                    x = jnp.maximum(
+                        x, jnp.where(bw >= k,
+                                     pltpu.roll(x, k, axis=0), NEG))
+                    k *= 2
+                return x
+
+        # i16: all vector comparisons must run on 16-bit operands (i1
+        # masks cannot relayout between 32- and 16-bit tilings), so the
+        # index/length vectors get one-time 16-bit copies.  Values fit:
+        # the _i16_ok gate bounds Qmax + W well under 2**15.  The VPU
+        # also has no ordered 16-bit compare — emulate via max + eq.
+        bwv = bw.astype(dt)
+        qlenv = qlen.astype(dt)
+        slenv = slen.astype(dt)
+        if i16:
+            def _ge(a, b):      # a >= b
+                return jnp.maximum(a, b) == a
+
+            def _gt(a, b):      # a > b  (max != b  <=>  not b >= a)
+                return jnp.maximum(a, b) != b
+
+            def _le(a, b):      # a <= b
+                return jnp.maximum(a, b) == b
+        else:
+            def _ge(a, b):
+                return a >= b
+
+            def _gt(a, b):
+                return a > b
+
+            def _le(a, b):
+                return a <= b
 
         def row(li, _):
             H = h_s[:, :]
@@ -152,6 +256,9 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
             F2 = f2_s[:, :]
             swin = win_s[:, :]
             i = i0 + li
+            # Mosaic supports only i1/i32 scalars: make the 16-bit row
+            # counter a (1, BT) vector (broadcast in i32, then pack)
+            iv = jnp.full((1, BT), i, jnp.int32).astype(dt)
             qc = q_ref[pl.ds(li, 1), :]                    # (1, BT)
             if diag_mode:
                 # advance the window: swin becomes s_pad[i : i+W]
@@ -159,8 +266,8 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
                 swin = jnp.where(bw == W - 1, ent,
                                  pltpu.roll(swin, W - 1, axis=0))
                 win_s[:, :] = swin
-            js = ((i - W2) + bw) if diag_mode else bw
-            inb = (js >= 0) & (js <= slen)
+            js = ((iv - W2) + bwv) if diag_mode else bwv
+            inb = _ge(js, 0) & _le(js, slenv)
             if diag_mode:
                 Hd = H
                 Hu = shift_p1(H)
@@ -171,46 +278,51 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
                 Hu = H
                 F1u = F1
                 F2u = F2
-            sub = jnp.where(swin == qc, match, -mism)
+            sub = jnp.where(swin == qc, match, -mism).astype(dt)
             # (js >= 1) is implied: the diag source cell was itself
             # NEG-masked out of band at its own row when js-1 < 0
-            diag = jnp.where((js >= 1) & (Hd > NEG // 2), Hd + sub, NEG)
-            F1e = F1u - ge1
-            F2e = F2u - ge2
-            F1n = jnp.maximum(Hu - (go1 + ge1), F1e)
-            F2n = jnp.maximum(Hu - (go2 + ge2), F2e)
+            diag = jnp.where(_ge(js, 1) & _gt(Hd, THR), Hd + sub,
+                             dt(NEG))
+            F1e = F1u - dt(ge1)
+            F2e = F2u - dt(ge2)
+            F1n = jnp.maximum(Hu - dt(go1 + ge1), F1e)
+            F2n = jnp.maximum(Hu - dt(go2 + ge2), F2e)
             F1ext = F1n == F1e
             F2ext = F2n == F2e
             Hpre = jnp.maximum(diag, jnp.maximum(F1n, F2n))
-            jge1 = bwge1 + (i - W2) * ge1 if diag_mode else bwge1
-            jge2 = bwge2 + (i - W2) * ge2 if diag_mode else bwge2
-            base1 = jnp.where(Hpre > NEG // 2, Hpre + jge1, NEG)
+            # scan bases rebased by the row constant (i-W2)*ge — it
+            # cancels in E = roll(cummax(base)) - go - jge, so only
+            # bw*ge enters (this is what keeps the i16 variant in range)
+            hpre_ok = _gt(Hpre, THR)
+            base1 = jnp.where(hpre_ok, Hpre + bwge1, dt(NEG))
             run1 = cummax(base1)
-            E1n = jnp.where(bw == 0, NEG, pltpu.roll(run1, 1, axis=0))
-            E1n = jnp.where(E1n > NEG // 2, E1n - go1 - jge1, NEG)
-            base2 = jnp.where(Hpre > NEG // 2, Hpre + jge2, NEG)
+            E1n = shift_m1(run1)
+            E1n = jnp.where(_gt(E1n, THR), E1n - dt(go1) - bwge1,
+                            dt(NEG))
+            base2 = jnp.where(hpre_ok, Hpre + bwge2, dt(NEG))
             run2 = cummax(base2)
-            E2n = jnp.where(bw == 0, NEG, pltpu.roll(run2, 1, axis=0))
-            E2n = jnp.where(E2n > NEG // 2, E2n - go2 - jge2, NEG)
-            E1ext = (bw == 0) | (E1n == shift_m1(E1n) - ge1)
-            E2ext = (bw == 0) | (E2n == shift_m1(E2n) - ge2)
+            E2n = shift_m1(run2)
+            E2n = jnp.where(_gt(E2n, THR), E2n - dt(go2) - bwge2,
+                            dt(NEG))
+            E1ext = (bwv == 0) | (E1n == shift_m1(E1n) - dt(ge1))
+            E2ext = (bwv == 0) | (E2n == shift_m1(E2n) - dt(ge2))
             Hn = jnp.maximum(Hpre, jnp.maximum(E1n, E2n))
-            Hn = jnp.where(inb, Hn, NEG)
-            src = jnp.where(Hn == diag, 0,
-                  jnp.where(Hn == E1n, 1,
-                  jnp.where(Hn == E2n, 2,
-                  jnp.where(Hn == F1n, 3, 4))))
+            Hn = jnp.where(inb, Hn, dt(NEG))
+            src = jnp.where(Hn == diag, dt(0),
+                  jnp.where(Hn == E1n, dt(1),
+                  jnp.where(Hn == E2n, dt(2),
+                  jnp.where(Hn == F1n, dt(3), dt(4)))))
             dirsb = (src
-                     | (E1ext.astype(jnp.int32) << 3)
-                     | (E2ext.astype(jnp.int32) << 4)
-                     | (F1ext.astype(jnp.int32) << 5)
-                     | (F2ext.astype(jnp.int32) << 6)).astype(jnp.uint8)
+                     | (E1ext.astype(dt) << 3)
+                     | (E2ext.astype(dt) << 4)
+                     | (F1ext.astype(dt) << 5)
+                     | (F2ext.astype(dt) << 6)).astype(jnp.uint8)
 
             @pl.when(i >= 1)
             def _store():
                 dirs_ref[li] = dirsb
 
-            active = (i >= 1) & (i <= qlen)                # (1, BT)
+            active = _ge(iv, 1) & _le(iv, qlenv)           # (1, BT)
             h_s[:, :] = jnp.where(active, Hn, H)
             e1_s[:, :] = jnp.where(active, E1n, E1)
             e2_s[:, :] = jnp.where(active, E2n, E2)
@@ -218,9 +330,9 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
             f2_s[:, :] = jnp.where(active, F2n, F2)
             if free_end:
                 bv = bv_s[:, :]
-                upd = active & (Hn > bv)
+                upd = active & _gt(Hn, bv)
                 bv_s[:, :] = jnp.where(upd, Hn, bv)
-                br2_s[:, :] = jnp.where(upd, i, br2_s[:, :])
+                br2_s[:, :] = jnp.where(upd, iv, br2_s[:, :])
             return 0
 
         hi = jnp.minimum(QT, Qmax + 1 - i0)
@@ -235,14 +347,16 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("W", "mode", "free_end", "match", "mismatch", "go1",
-                     "ge1", "go2", "ge2", "interpret"))
+                     "ge1", "go2", "ge2", "interpret", "i16"))
 def _pallas_fill_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
-                     go1, ge1, go2, ge2, interpret=False):
+                     go1, ge1, go2, ge2, interpret=False, i16=False):
     """Launch the fill; returns (dirs (Rpad, W, B) u8, Hfin (B, W),
-    bestv (B, W), bestr (B, W))."""
+    bestv (B, W), bestr (B, W)) — H/best in i32 with the NEG sentinel
+    regardless of the kernel's internal dtype."""
     B, Qmax = q.shape
     W2 = W // 2
-    BT, QT = _tile_shape(B, W, free_end)
+    dt = jnp.int16 if i16 else jnp.int32
+    BT, QT = _tile_shape(B, W, free_end, esz=2 if i16 else 4)
     assert B % BT == 0
     nq = -(-(Qmax + 1) // QT)
     Rpad = nq * QT
@@ -277,14 +391,18 @@ def _pallas_fill_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
 
     kern = functools.partial(
         _fill_kernel, QT=QT, W=W, Qmax=Qmax, mode=mode, free_end=free_end,
-        match=match, mism=mismatch, go1=go1, ge1=ge1, go2=go2, ge2=ge2)
+        match=match, mism=mismatch, go1=go1, ge1=ge1, go2=go2, ge2=ge2,
+        i16=i16)
     grid = (nb, nq)
     n_out = 3 if free_end else 1
+    # outs: hfin [+ bestv, bestr], all dt (best row fits i16 when gated)
     out_shape = tuple(
         [jax.ShapeDtypeStruct((Rpad, W, B), jnp.uint8)]
-        + [jax.ShapeDtypeStruct((W, B), jnp.int32)] * n_out)
-    scratch = [pltpu.VMEM((W, BT), jnp.int32)
-               for _ in range(8 if free_end else 6)]
+        + [jax.ShapeDtypeStruct((W, B), dt)] * n_out)
+    # scratch: h/e1/e2/f1/f2 (dt), win (seq codes, i32) [+ bestv, bestr]
+    scratch = ([pltpu.VMEM((W, BT), dt) for _ in range(5)]
+               + [pltpu.VMEM((W, BT), jnp.int32)]
+               + ([pltpu.VMEM((W, BT), dt)] * 2 if free_end else []))
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -310,25 +428,59 @@ def _pallas_fill_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
         interpret=interpret,
     )(qlen[None, :], slen[None, :], qs.T.astype(jnp.int32),
       e_in.T.astype(jnp.int32), win0.T.astype(jnp.int32))
+
+    def widen(x):
+        # i16 -> i32 with sentinel remap: values at/below THR are masked
+        # (real values clear THR by construction, see _i16_ok)
+        if not i16:
+            return x
+        ge = max(ge1, ge2)
+        gmax = max(go1 + ge1 * (W + 1), go2 + ge2 * (W + 1))
+        thr = NEG16 + gmax + 16
+        x32 = x.astype(jnp.int32)
+        return jnp.where(x32 > thr, x32, NEG)
+
     if free_end:
         dirs, hfin, bestv, bestr = out
-        return dirs, hfin.T, bestv.T, bestr.T
+        return (dirs, widen(hfin).T, widen(bestv).T,
+                bestr.astype(jnp.int32).T)
     dirs, hfin = out
-    return dirs, hfin.T, None, None
+    return dirs, widen(hfin).T, None, None
+
+
+_I16_BROKEN = False     # set if Mosaic rejects the i16 lowering
 
 
 def pallas_banded_align_kernel(q, s, qlen, slen, W: int, mode: str,
                                cfg: AlignConfig, free_end: bool = False,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               force_i16: bool | None = None):
     """Drop-in fill matching `align_jax.banded_align_kernel` outputs,
     except ``dirs`` is (Rpad, W, B) with Rpad >= Qmax+1 (row, band,
-    batch)."""
+    batch).  Small-score buckets run the i16 kernel (half the VPU
+    register pressure, bit-identical — see _i16_ok); set ``force_i16``
+    to pin either variant (tests)."""
+    global _I16_BROKEN
     B, Qmax = q.shape
     W2 = W // 2
-    dirs, hfin, bestv, bestr = _pallas_fill_jit(
-        q, s, qlen, slen, W, mode, free_end, cfg.match, cfg.mismatch,
-        cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,
-        interpret=interpret)
+    i16 = _i16_ok(Qmax, W, cfg.match, cfg.mismatch, cfg.gap_open1,
+                  cfg.gap_ext1, cfg.gap_open2,
+                  cfg.gap_ext2) and not _I16_BROKEN
+    if force_i16 is not None:
+        i16 = force_i16
+    try:
+        dirs, hfin, bestv, bestr = _pallas_fill_jit(
+            q, s, qlen, slen, W, mode, free_end, cfg.match, cfg.mismatch,
+            cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,
+            interpret=interpret, i16=i16)
+    except Exception:
+        if not i16 or force_i16:
+            raise
+        _I16_BROKEN = True      # Mosaic i16 lowering unavailable: fall back
+        dirs, hfin, bestv, bestr = _pallas_fill_jit(
+            q, s, qlen, slen, W, mode, free_end, cfg.match, cfg.mismatch,
+            cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,
+            interpret=interpret, i16=False)
     if free_end:
         best = jnp.max(bestv, axis=1)
         hit = bestv == best[:, None]

@@ -37,13 +37,14 @@ def _batch(pairs, Qmax, Smax):
     return q, s, qlen, slen
 
 
-def _pallas_run(q, s, qlen, slen, W, mode, cfg, free_end):
+def _pallas_run(q, s, qlen, slen, W, mode, cfg, free_end,
+                force_i16=None):
     import jax.numpy as jnp
 
     dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
         jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
         jnp.asarray(slen), W, mode, cfg, free_end=free_end,
-        interpret=True)
+        interpret=True, force_i16=force_i16)
     dirs = np.asarray(dirs)
     score = np.asarray(score)
     end_i = np.asarray(end_i)
@@ -57,7 +58,8 @@ def _pallas_run(q, s, qlen, slen, W, mode, cfg, free_end):
 
 @pytest.mark.parametrize("mode", ["diag", "full"])
 @pytest.mark.parametrize("free_end", [False, True])
-def test_pallas_matches_xla(mode, free_end):
+@pytest.mark.parametrize("i16", [False, True])
+def test_pallas_matches_xla(mode, free_end, i16):
     rng = np.random.default_rng(7)
     cfg = AlignConfig()
     W = 128
@@ -73,8 +75,14 @@ def test_pallas_matches_xla(mode, free_end):
     Smax = max(len(s) for _, s in pairs)
     q, s, qlen, slen = _batch(pairs, Qmax, Smax)
     assert pallas_supported(len(pairs), Qmax, Smax, W)
+    if i16:
+        from lesv_tpu.ops.align_pallas import _i16_ok
 
-    got = _pallas_run(q, s, qlen, slen, W, mode, cfg, free_end)
+        assert _i16_ok(Qmax, W, cfg.match, cfg.mismatch, cfg.gap_open1,
+                       cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2)
+
+    got = _pallas_run(q, s, qlen, slen, W, mode, cfg, free_end,
+                      force_i16=i16)
     want = banded_align_batch(q, s, qlen, slen, W, mode, cfg,
                               free_end=free_end)
     np.testing.assert_array_equal(got["ok"], want["ok"])
@@ -123,6 +131,43 @@ def test_pallas_odd_w_full_mode():
     assert pallas_supported(8, 64, 64, W)
     got = _pallas_run(q, s, qlen, slen, W, "full", cfg, False)
     want = banded_align_batch(q, s, qlen, slen, W, "full", cfg)
+    np.testing.assert_array_equal(got["ok"], want["ok"])
+    np.testing.assert_array_equal(got["score"], want["score"])
+    for i in range(8):
+        if not want["ok"][i]:
+            continue
+        np.testing.assert_array_equal(
+            got["ops"][i][: got["nops"][i]],
+            want["ops"][i][: want["nops"][i]])
+
+
+def test_pallas_i16_gate_and_deep_scores():
+    """i16 variant at the gate edge: long noisy queries push DP values
+    toward the i16 bound; ops/scores must stay bit-identical to the XLA
+    i32 kernel.  Shapes past the bound must be rejected by the gate."""
+    from lesv_tpu.ops.align_pallas import _i16_ok
+
+    cfg = AlignConfig()
+    a = (cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
+         cfg.gap_open2, cfg.gap_ext2)
+    assert _i16_ok(1024, 256, *a)
+    assert not _i16_ok(4096, 512, *a)    # 5*4096 mismatch floor > i16 thr
+
+    rng = np.random.default_rng(21)
+    W = 256
+    pairs = []
+    for _ in range(8):
+        n = int(rng.integers(900, 1024))
+        s = rng.integers(0, 4, n).astype(np.uint8)
+        q = mutate_read(rng, s, err=0.35)[:1024]    # deep negative cells
+        pairs.append((q, s))
+    Qmax = max(len(q) for q, _ in pairs)
+    Smax = max(len(s) for _, s in pairs)
+    assert _i16_ok(Qmax, W, *a)
+    q, s, qlen, slen = _batch(pairs, Qmax, Smax)
+    got = _pallas_run(q, s, qlen, slen, W, "diag", cfg, False,
+                      force_i16=True)
+    want = banded_align_batch(q, s, qlen, slen, W, "diag", cfg)
     np.testing.assert_array_equal(got["ok"], want["ok"])
     np.testing.assert_array_equal(got["score"], want["score"])
     for i in range(8):

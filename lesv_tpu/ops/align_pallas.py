@@ -185,6 +185,8 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
         # into the fill rows.  i32 keeps the measured-faster roll form.
         import os as _os
 
+        _ablate = _os.environ.get("LESV_TPU_ABLATE", "")
+
         if i16 or _os.environ.get("LESV_TPU_SHIFT") == "concat":
             def shift_p1(x):    # x[b+1]
                 return jnp.concatenate(
@@ -213,6 +215,8 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
 
             def cummax(x):
                 # inclusive prefix max along the band (sublanes)
+                if _ablate == "noscan":     # timing ablation: WRONG results
+                    return x
                 k = 1
                 while k < W:
                     x = jnp.maximum(
@@ -308,15 +312,18 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
             E2ext = (bwv == 0) | (E2n == shift_m1(E2n) - dt(ge2))
             Hn = jnp.maximum(Hpre, jnp.maximum(E1n, E2n))
             Hn = jnp.where(inb, Hn, dt(NEG))
-            src = jnp.where(Hn == diag, dt(0),
-                  jnp.where(Hn == E1n, dt(1),
-                  jnp.where(Hn == E2n, dt(2),
-                  jnp.where(Hn == F1n, dt(3), dt(4)))))
-            dirsb = (src
-                     | (E1ext.astype(dt) << 3)
-                     | (E2ext.astype(dt) << 4)
-                     | (F1ext.astype(dt) << 5)
-                     | (F2ext.astype(dt) << 6)).astype(jnp.uint8)
+            if _ablate == "nodirs":         # timing ablation: WRONG results
+                dirsb = Hn.astype(jnp.uint8)
+            else:
+                src = jnp.where(Hn == diag, dt(0),
+                      jnp.where(Hn == E1n, dt(1),
+                      jnp.where(Hn == E2n, dt(2),
+                      jnp.where(Hn == F1n, dt(3), dt(4)))))
+                dirsb = (src
+                         | (E1ext.astype(dt) << 3)
+                         | (E2ext.astype(dt) << 4)
+                         | (F1ext.astype(dt) << 5)
+                         | (F2ext.astype(dt) << 6)).astype(jnp.uint8)
 
             @pl.when(i >= 1)
             def _store():

@@ -46,7 +46,6 @@ class ChainConfig:
     max_dist_qry: int = 5_000
     max_dist_ref: int = 5_000
     max_band_width: int = 1_500
-    max_skip: int = 25
     min_seed_cnt: int = 3        # min_ddfs (`cmdline_args.cpp:44`)
     # DDF stage min score = min_ddfs * kmer_size * 0.8
     # (`chain_and_extend_kmer_matches.c:59`)
@@ -54,9 +53,14 @@ class ChainConfig:
     # chain joining — what lets an SV-spanning read stay one candidate
     max_join_long: int = 20_000
     max_join_short: int = 2_000
-    min_join_flank_sc: int = 1_000
-    min_join_flank_ratio: float = 0.5
+    # kMinMemLen / kMinMemScore (`chain_dp.c:414-444`): both flanks of a
+    # join must be >= this long / this strong
+    min_join_flank_len: int = 1_000
+    min_join_flank_score: int = 500
     max_chains_per_context: int = 40
+    # device chain DP (ops/chain_jax.py): predecessor lookback depth —
+    # replaces the reference's max_skip=25 pruning heuristic
+    lookback: int = 64
 
 
 @dataclass
@@ -89,6 +93,13 @@ class MapConfig:
     subseq_max_gap: int = 30_000       # +<=30kb margin
     min_query_size: int = 0
     batch_reads: int = 64          # device batch of read tiles
+    # seeding/chaining engine: "device" (batched JAX kernels,
+    # ops/{seeding,chain,pairseed}_jax) or "host" (per-read numpy oracle)
+    engine: str = "device"
+    # per-lane match-slot budgets for the device expansion; lanes whose
+    # true match count exceeds the budget fall back to the host oracle
+    seed_match_budget: int = 8192
+    pair_match_budget: int = 8192
 
 
 @dataclass

@@ -50,6 +50,9 @@ def _load():
         ctypes.c_int64, i64p, i64p, i64p]
     lib.fccns_link_dp.argtypes = [
         ctypes.c_int64, i64p, i64p, f64p, f64p, ctypes.c_int64, f64p, i64p]
+    lib.chain_extract.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i64p, i64p, i64p, i64p]
     lib.traceback_batch.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
@@ -173,6 +176,28 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray,
         np.ascontiguousarray(ok, np.uint8),
         1 if mode_diag else 0, T, ops, nops, reached)
     return ops, nops, reached.astype(bool)
+
+
+def chain_extract(f: np.ndarray, p: np.ndarray, v: np.ndarray,
+                  min_score: int, min_cnt: int, max_chains: int):
+    """Native chain extraction over (f, p, v) DP arrays.
+
+    Returns (paths, bounds, scores, n_chains) or None if unavailable;
+    chain c's ascending seed indices are paths[bounds[c]:bounds[c+1]]."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(f)
+    paths = np.empty(max(n, 1), np.int64)
+    bounds = np.zeros(max_chains + 1, np.int64)
+    scores = np.empty(max(max_chains, 1), np.int64)
+    nc = np.zeros(1, np.int64)
+    lib.chain_extract(n, np.ascontiguousarray(f, np.int64),
+                      np.ascontiguousarray(p, np.int64),
+                      np.ascontiguousarray(v, np.int64),
+                      min_score, min_cnt, max_chains,
+                      paths, bounds, scores, nc)
+    return paths, bounds, scores, int(nc[0])
 
 
 def fccns_link_dp(link_col: np.ndarray, pred_col: np.ndarray,

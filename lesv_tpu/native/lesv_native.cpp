@@ -14,6 +14,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -351,6 +352,77 @@ void traceback_batch(
         nops[lane] = n;
         reached[lane] = 1;
     }
+}
+
+
+// Chain extraction over precomputed (f, p, v) DP arrays (the host half
+// of the batched device chain DP, ops/chain_jax.py): find chain ends
+// (seeds that are nobody's best predecessor with peak score >=
+// min_score), resolve each end to its peak seed via v, claim paths
+// greedily best-score-first over unused seeds, filter by min_cnt /
+// min_score.  Mirrors `chaining_find_candidates` (algo/chain_dp.c:
+// 273-395) = lesv_tpu.ops.chain.extract_chains_np.
+//
+// Outputs: paths (flattened ascending seed indices, capacity n),
+// bounds[c] .. bounds[c+1] delimit chain c, scores[c], n_chains.
+void chain_extract(
+    int64_t n,
+    const int64_t* f,
+    const int64_t* p,
+    const int64_t* v,
+    int64_t min_score,
+    int64_t min_cnt,
+    int64_t max_chains,
+    int64_t* paths,       // out, capacity n
+    int64_t* bounds,      // out, capacity max_chains + 1
+    int64_t* scores,      // out, capacity max_chains
+    int64_t* n_chains)    // out
+{
+    *n_chains = 0;
+    bounds[0] = 0;
+    if (n == 0) return;
+    std::vector<uint8_t> has_succ(n, 0);
+    for (int64_t i = 0; i < n; ++i)
+        if (p[i] >= 0) has_succ[p[i]] = 1;
+    // peaks: (score, peak index), from ends
+    std::vector<std::pair<int64_t, int64_t>> peaks;
+    for (int64_t i = 0; i < n; ++i) {
+        if (has_succ[i] || v[i] < min_score) continue;
+        int64_t j = i;
+        while (j >= 0 && f[j] < v[j]) j = p[j];
+        if (j < 0) j = i;
+        peaks.emplace_back(-f[j], j);   // sort by (-score, index)
+    }
+    std::sort(peaks.begin(), peaks.end());
+    std::vector<uint8_t> used(n, 0);
+    int64_t np_out = 0;
+    int64_t nc = 0;
+    std::vector<int64_t> path;
+    for (auto& pk : peaks) {
+        if (nc >= max_chains) break;
+        int64_t end = pk.second;
+        if (used[end]) continue;
+        path.clear();
+        int64_t j = end;
+        while (j >= 0 && !used[j]) {
+            path.push_back(j);
+            used[j] = 1;
+            j = p[j];
+        }
+        int64_t score = -pk.first;
+        if (j >= 0) {
+            if (score - f[j] >= min_score) score -= f[j];
+            else continue;
+        }
+        if ((int64_t)path.size() < min_cnt) continue;
+        bounds[nc] = np_out;
+        scores[nc] = score;
+        for (auto it = path.rbegin(); it != path.rend(); ++it)
+            paths[np_out++] = *it;
+        ++nc;
+        bounds[nc] = np_out;
+    }
+    *n_chains = nc;
 }
 
 }  // extern "C"

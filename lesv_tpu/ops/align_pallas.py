@@ -32,6 +32,8 @@ The traceback stays on the host (:func:`lesv_tpu.ops.align_jax
 from __future__ import annotations
 
 import functools
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +42,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lesv_tpu.config import AlignConfig
+
+# Bench-only ablation switches, read ONCE at import (they are jit-cache
+# keys by construction: changing them mid-process has no effect).
+#   LESV_TPU_ABLATE=noscan|nodirs  -- produce WRONG results for timing
+#   LESV_TPU_SHIFT=concat          -- slice+concat shifts instead of rolls
+# Ablations corrupt alignment output; tools/kbench.py is the only
+# sanctioned user.  A loud banner guards against a leaked env var.
+_ABLATE = os.environ.get("LESV_TPU_ABLATE", "")
+_SHIFT = os.environ.get("LESV_TPU_SHIFT", "")
+if _ABLATE:
+    print(
+        f"lesv_tpu: WARNING: LESV_TPU_ABLATE={_ABLATE!r} is set — the "
+        "Pallas alignment kernel will produce WRONG results (bench-only "
+        "ablation mode).",
+        file=sys.stderr, flush=True)
 
 NEG = -(2**28)
 NEG16 = -16384          # i16 sentinel (see _i16_ok for the bound proof)
@@ -183,11 +200,9 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
         # i16: Mosaic has no 16-bit sublane rotate on current libtpu, but
         # static slice+concatenate lowers fine and folds the edge mask
         # into the fill rows.  i32 keeps the measured-faster roll form.
-        import os as _os
+        _ablate = _ABLATE
 
-        _ablate = _os.environ.get("LESV_TPU_ABLATE", "")
-
-        if i16 or _os.environ.get("LESV_TPU_SHIFT") == "concat":
+        if i16 or _SHIFT == "concat":
             def shift_p1(x):    # x[b+1]
                 return jnp.concatenate(
                     [x[1:], jnp.full((1, BT), NEG, x.dtype)], axis=0)
@@ -198,6 +213,8 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
 
             def cummax(x):
                 # inclusive prefix max along the band (sublanes)
+                if _ablate == "noscan":     # timing ablation: WRONG results
+                    return x
                 k = 1
                 while k < W:
                     x = jnp.maximum(x, jnp.concatenate(
@@ -458,6 +475,18 @@ def _pallas_fill_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
 _I16_BROKEN = False     # set if Mosaic rejects the i16 lowering
 
 
+def _is_lowering_error(e: Exception) -> bool:
+    """True for Mosaic/Pallas *lowering* failures (the only failures the
+    i16->i32 fallback may swallow); OOMs, tunneling errors, and genuine
+    kernel bugs must propagate."""
+    msg = f"{type(e).__name__}: {e}"
+    needles = ("Mosaic", "mosaic", "lowering", "Lowering",
+               "Unsupported", "not implemented", "NotImplemented")
+    blockers = ("RESOURCE_EXHAUSTED", "out of memory", "Out of memory")
+    return any(n in msg for n in needles) and not any(
+        b in msg for b in blockers)
+
+
 def pallas_banded_align_kernel(q, s, qlen, slen, W: int, mode: str,
                                cfg: AlignConfig, free_end: bool = False,
                                interpret: bool = False,
@@ -480,10 +509,13 @@ def pallas_banded_align_kernel(q, s, qlen, slen, W: int, mode: str,
             q, s, qlen, slen, W, mode, free_end, cfg.match, cfg.mismatch,
             cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,
             interpret=interpret, i16=i16)
-    except Exception:
-        if not i16 or force_i16:
+    except Exception as e:
+        if not i16 or force_i16 or not _is_lowering_error(e):
             raise
         _I16_BROKEN = True      # Mosaic i16 lowering unavailable: fall back
+        print(f"lesv_tpu: i16 Pallas lowering failed ({type(e).__name__}); "
+              "falling back to the i32 kernel for this process",
+              file=sys.stderr, flush=True)
         dirs, hfin, bestv, bestr = _pallas_fill_jit(
             q, s, qlen, slen, W, mode, free_end, cfg.match, cfg.mismatch,
             cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,

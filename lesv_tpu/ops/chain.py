@@ -180,14 +180,15 @@ def _chains_adjacent(left: Chain, right: Chain, cfg: ChainConfig) -> bool:
     gap_r = right.sbeg - left.send
     if max(gap_q, gap_r) > cfg.max_join_long or min(gap_q, gap_r) > cfg.max_join_short:
         return False
-    kMinMemLen, kMinMemScore = 1000, 500
     # note: the reference computes right_slen = right.send - LEFT.sbeg
     # (chain_dp.c:430) — an apparent typo that only loosens the check; we use
     # the intended right-flank length.
     if min(left.qend - left.qbeg, left.send - left.sbeg,
-           right.qend - right.qbeg, right.send - right.sbeg) < kMinMemLen:
+           right.qend - right.qbeg, right.send - right.sbeg) \
+            < cfg.min_join_flank_len:
         return False
-    if left.score < kMinMemScore or right.score < kMinMemScore:
+    if (left.score < cfg.min_join_flank_score
+            or right.score < cfg.min_join_flank_score):
         return False
     return True
 

@@ -131,37 +131,146 @@ def _hsp_contained(kept: list[M4], m: M4, eps: int = 100) -> bool:
     return False
 
 
+def _chains_by_read_host(read: np.ndarray, index: KmerIndex,
+                         cfg: LesvConfig) -> dict[int, list[Chain]]:
+    matches = collect_seed_matches(index, read, cfg.seeding)
+    return {d: extract_chains_np(matches[d][0], matches[d][1],
+                                 length=index.k, cfg=cfg.chain)
+            for d in (FWD, REV)}
+
+
+def _chains_by_read_device(
+    batch: list[tuple[int, np.ndarray]],
+    index: KmerIndex,
+    cfg: LesvConfig,
+) -> list[dict[int, list[Chain]]]:
+    """Batched device seeding + chain DP for every read in the batch
+    (both strands); per-lane host fallback on match-budget overflow."""
+    from lesv_tpu.ops.chain_jax import chain_lanes
+    from lesv_tpu.ops.seeding_jax import seed_matches_batch
+    from lesv_tpu.utils import profiling
+
+    out: list[dict[int, list[Chain]]] = [
+        {FWD: [], REV: []} for _ in batch]
+    # bucket reads by pow2 length to bound hash-compute padding
+    buckets: dict[int, list[int]] = {}
+    for i, (_, read) in enumerate(batch):
+        b = 256
+        while b < len(read):
+            b *= 2
+        buckets.setdefault(b, []).append(i)
+    M = cfg.map.seed_match_budget
+    for _, idxs in sorted(buckets.items()):
+        reads = [batch[i][1] for i in idxs]
+        with profiling.trace("map/seed_device"):
+            qoff, soff, valid, total = seed_matches_batch(
+                reads, index, cfg.seeding, M=M)
+        with profiling.trace("map/chain_device"):
+            lanes = chain_lanes(qoff, soff, valid, index.k, cfg.chain,
+                                J=cfg.chain.lookback)
+        total = np.asarray(total)
+        for j, i in enumerate(idxs):
+            if total[2 * j] > M or total[2 * j + 1] > M:
+                # budget overflow (repeat-dense read): host oracle
+                out[i] = _chains_by_read_host(batch[i][1], index, cfg)
+            else:
+                out[i] = {FWD: lanes[2 * j], REV: lanes[2 * j + 1]}
+    return out
+
+
+def _pair_cfg(cfg: LesvConfig):
+    """ChainConfig for window re-seeding (pair_chains semantics:
+    min_cnt=1, min_score=30)."""
+    import dataclasses
+
+    c = dataclasses.replace(cfg.chain)
+    c.min_seed_cnt = 1
+    c.min_chain_score = 30
+    return c
+
+
+def _window_chains_device(
+    wtasks: list[tuple[np.ndarray, np.ndarray]],
+    cfg: LesvConfig,
+) -> list[list[Chain]]:
+    """Batched device pair seeding + chaining for all (query, window)
+    tasks, bucketed by padded shape; host fallback on budget overflow."""
+    from lesv_tpu.ops.chain_jax import chain_lanes
+    from lesv_tpu.ops.pairseed_jax import _pad_pow2, pair_matches_batch
+    from lesv_tpu.utils import profiling
+
+    import jax.numpy as jnp
+
+    pcfg = _pair_cfg(cfg)
+    out: list[list[Chain]] = [[] for _ in wtasks]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (q, s) in enumerate(wtasks):
+        buckets.setdefault(
+            (_pad_pow2(len(q)), _pad_pow2(len(s))), []).append(i)
+    M = cfg.map.pair_match_budget
+    for _, idxs in sorted(buckets.items()):
+        pairs = [wtasks[i] for i in idxs]
+        with profiling.trace("map/pairseed_device"):
+            qoff, soff, valid, total = pair_matches_batch(pairs, M=M)
+        with profiling.trace("map/pairchain_device"):
+            lanes = chain_lanes(jnp.asarray(qoff), jnp.asarray(soff),
+                                jnp.asarray(valid), 12, pcfg,
+                                J=cfg.chain.lookback)
+        for j, i in enumerate(idxs):
+            if total[j] > M:
+                out[i] = pair_chains(*wtasks[i], cfg=cfg.chain)
+            else:
+                out[i] = lanes[j]
+    return out
+
+
 def map_batch(
     batch: list[tuple[int, np.ndarray]],
     store: SeqStore,
     index: KmerIndex,
     cfg: LesvConfig | None = None,
 ) -> list[M4]:
-    """Map a batch of (qid, read): per-read seeding/candidate windows on
-    host, all window-chain extensions in one device-batched sweep."""
+    """Map a batch of (qid, read): batched device seeding + chain DP
+    (cfg.map.engine == "device", the production path) or the per-read
+    host oracle; candidate-window logic on host; all window-chain
+    extensions in one device-batched sweep."""
     from lesv_tpu.ops.anchored import anchored_align_many
 
     cfg = cfg or LesvConfig()
-    tasks = []   # (q, sseq, anchors, k)
-    meta = []    # (qid, qlen, window, chain)
-    for qid, read in batch:
+    device = cfg.map.engine == "device"
+    live = [(qid, read) for qid, read in batch
+            if len(read) >= max(cfg.map.min_query_size, index.k)]
+    if device:
+        all_chains = _chains_by_read_device(live, index, cfg)
+    else:
+        all_chains = [_chains_by_read_host(read, index, cfg)
+                      for _, read in live]
+
+    # candidate windows (host, tiny); collect window re-seed tasks
+    wtasks: list[tuple[np.ndarray, np.ndarray]] = []
+    wmeta: list[tuple[int, int, CandidateWindow]] = []
+    for (qid, read), chains_by_dir in zip(live, all_chains):
         qlen = len(read)
-        if qlen < max(cfg.map.min_query_size, index.k):
-            continue
-        matches = collect_seed_matches(index, read, cfg.seeding)
-        chains_by_dir: dict[int, list[Chain]] = {}
-        for d in (FWD, REV):
-            qo, so = matches[d]
-            chains_by_dir[d] = extract_chains_np(
-                qo, so, length=index.k, cfg=cfg.chain)
         windows = find_candidate_windows(chains_by_dir, index, qlen, cfg)
         for w in windows:
             sseq = store.get(w.sid, w.sfrom, w.sto)
             q = read if w.qdir == FWD else revcomp(read)
-            wchains = pair_chains(q, sseq, cfg=cfg.chain)
-            for c in wchains[: cfg.map.max_hsps]:
-                tasks.append((q, sseq, c.anchors, 12))
-                meta.append((qid, qlen, w, c))
+            wtasks.append((q, sseq))
+            wmeta.append((qid, qlen, w))
+
+    if device:
+        wchains_all = _window_chains_device(wtasks, cfg)
+    else:
+        wchains_all = [pair_chains(q, s, cfg=cfg.chain)
+                       for q, s in wtasks]
+
+    tasks = []   # (q, sseq, anchors, k)
+    meta = []    # (qid, qlen, window, chain)
+    for (qid, qlen, w), (q, sseq), wchains in zip(wmeta, wtasks,
+                                                  wchains_all):
+        for c in wchains[: cfg.map.max_hsps]:
+            tasks.append((q, sseq, c.anchors, 12))
+            meta.append((qid, qlen, w, c))
     alns = anchored_align_many(tasks, cfg.align)
     per_qid: dict[int, list[M4]] = {}
     for (qid, qlen, w, c), (q, sseq, _, _), aln in zip(meta, tasks, alns):

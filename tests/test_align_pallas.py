@@ -202,3 +202,33 @@ def test_pallas_multi_row_tiles():
         np.testing.assert_array_equal(
             got["ops"][i][: got["nops"][i]],
             want["ops"][i][: want["nops"][i]])
+
+
+def test_i16_fallback_propagates_non_lowering_errors(monkeypatch):
+    """Only Mosaic lowering failures may trigger the i16->i32 fallback;
+    anything else (OOM, tunnel errors, kernel bugs) must propagate."""
+    import lesv_tpu.ops.align_pallas as ap
+
+    assert ap._is_lowering_error(
+        NotImplementedError("Mosaic lowering: unsupported 16-bit rotate"))
+    assert not ap._is_lowering_error(
+        RuntimeError("RESOURCE_EXHAUSTED: out of memory allocating"))
+    assert not ap._is_lowering_error(ValueError("shape mismatch"))
+
+    monkeypatch.setattr(ap, "_I16_BROKEN", False)
+
+    def boom(*a, **kw):
+        raise RuntimeError("tunnel collapsed")
+
+    monkeypatch.setattr(ap, "_pallas_fill_jit", boom)
+    cfg = AlignConfig()
+    q = np.zeros((8, 64), np.uint8)
+    s = np.zeros((8, 128), np.uint8)
+    ql = np.full(8, 64, np.int32)
+    sl = np.full(8, 64, np.int32)
+    import jax.numpy as jnp
+    with pytest.raises(RuntimeError, match="tunnel collapsed"):
+        ap.pallas_banded_align_kernel(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(ql),
+            jnp.asarray(sl), 64, "diag", cfg, interpret=True)
+    assert not ap._I16_BROKEN

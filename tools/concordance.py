@@ -1,0 +1,323 @@
+"""Concordance harness: lesv_tpu vs the actual reference binaries.
+
+Builds the reference (`/root/reference/src`, boilermake) once into a temp
+dir, runs its stages 1-4 (split -> map -> m4x -> svr -> svsig) and the
+lesv_tpu pipeline on the SAME simulated input, and diffs the artifacts:
+
+* stage 1: split subread names + sequences (exact match required);
+* stage 2: M4 mapping records (per (qname, subject, qdir) with reciprocal
+  interval overlap; reported at exact/loose tolerances);
+* stage 4: SV signatures (type + position +/- tol + length similarity).
+
+The reference's stage 8 (samtools/pbsv VCF) cannot run here (binaries not
+installed); the deepest comparable artifact is the signature set, which
+fully determines grouping/consensus inputs.
+
+Usage:
+  python tools/concordance.py --genome 300000 --coverage 10 \
+      --seeds 0 1 --out /tmp/conc
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from lesv_tpu.config import LesvConfig
+from lesv_tpu.io.fasta import decode_seq, write_fasta
+from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
+
+REF_SRC = "/root/reference/src"
+REF_BUILD = os.environ.get("LESV_REF_BUILD", "/tmp/lesv_refbuild")
+
+
+def ensure_ref_bins() -> str:
+    """Locate (or build) the reference binaries; returns the bin dir."""
+    env = os.environ.get("LESV_REF_BIN")
+    if env and os.path.exists(os.path.join(env, "qx2map")):
+        return env
+    for cand in (os.path.join(REF_BUILD, "Linux-amd64", "bin"),
+                 "/tmp/refbuild/Linux-amd64/bin"):
+        if os.path.exists(os.path.join(cand, "qx2map")):
+            return cand
+    print(f"building reference binaries into {REF_BUILD} ...", file=sys.stderr)
+    os.makedirs(REF_BUILD, exist_ok=True)
+    src = os.path.join(REF_BUILD, "src")
+    if not os.path.exists(src):
+        shutil.copytree(REF_SRC, src)
+    subprocess.run(["make", "-j8"], cwd=src, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    out = os.path.join(REF_BUILD, "Linux-amd64", "bin")
+    assert os.path.exists(os.path.join(out, "qx2map")), "reference build failed"
+    return out
+
+
+def run(cmd, **kw):
+    r = subprocess.run(cmd, capture_output=True, text=True, **kw)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"{' '.join(map(str, cmd))} failed rc={r.returncode}\n"
+            f"stderr tail: {r.stderr[-2000:]}")
+    return r
+
+
+def run_reference(bin_dir: str, wrk: str, reads_fa: str, ref_fa: str,
+                  threads: int = 8) -> dict:
+    """Reference stages 1-4 (`scripts/lesv.sh:78-172` command lines)."""
+    B = lambda n: os.path.join(bin_dir, n)
+    split_fa = os.path.join(wrk, "split_reads.fasta")
+    with open(split_fa, "w") as fh:
+        subprocess.run([B("qx2splitseq"), "50000", "0", "20000", reads_fa],
+                       stdout=fh, stderr=subprocess.DEVNULL, check=True)
+    pdb = os.path.join(wrk, "packed_db")
+    m4 = os.path.join(wrk, "map.m4")
+    with open(m4, "w") as fh:
+        subprocess.run([B("qx2map"), "-db_dir", pdb, "-keep_db",
+                        "-num_threads", str(threads), split_fa, ref_fa],
+                       stdout=fh, stderr=subprocess.DEVNULL, check=True)
+    run([B("qx2m4x"), pdb])
+    svr = os.path.join(wrk, "sv_reads")
+    run([B("qx2svr"), svr, pdb, "3000", "70.0", "300", str(threads)])
+    svsig = os.path.join(wrk, "sv_signature")
+    run([B("qx2svsig"), svsig, svr, pdb, "40", str(threads)])
+    return {"split": split_fa, "m4": m4, "svr": svr, "svsig": svsig}
+
+
+def parse_m4_text(path: str) -> list[dict]:
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            c = line.split("\t")
+            if len(c) < 12:
+                continue
+            out.append(dict(qname=c[0], sname=c[1], ident=float(c[2]),
+                            score=int(c[3]), qdir=int(c[4]), qoff=int(c[5]),
+                            qend=int(c[6]), qsize=int(c[7]), sdir=int(c[8]),
+                            soff=int(c[9]), send=int(c[10]), ssize=int(c[11])))
+    return out
+
+
+def parse_ref_signatures(svsig_dir: str) -> list[dict]:
+    """Parse subject_*.sv_signature files (sv_signature.cpp:31-52 layout:
+    qid qdir qfrom qto fqfrom fqto qsize sfrom sto fsfrom fsto ssize type
+    [qname]); type 0=DEL, 6=INS (ncbi_blast/setup/gapinfo.h:47,53)."""
+    sigs = []
+    if not os.path.isdir(svsig_dir):
+        return sigs
+    for fn in sorted(os.listdir(svsig_dir)):
+        if not fn.endswith(".sv_signature"):
+            continue
+        sid = int(fn.split("_")[1].split(".")[0])
+        with open(os.path.join(svsig_dir, fn)) as fh:
+            for line in fh:
+                c = line.split("\t")
+                if len(c) < 13:
+                    continue
+                typ = int(c[12])
+                kind = "DEL" if typ == 0 else "INS" if typ == 6 else None
+                if kind is None:
+                    continue
+                sfrom, sto = int(c[7]), int(c[8])
+                qfrom, qto = int(c[2]), int(c[3])
+                length = (sto - sfrom) if kind == "DEL" else (qto - qfrom)
+                sigs.append(dict(kind=kind, sid=sid, sfrom=sfrom, sto=sto,
+                                 length=length,
+                                 qname=c[13].strip() if len(c) > 13 else ""))
+    return sigs
+
+
+def read_fasta_records(path: str) -> list[tuple[str, str]]:
+    from lesv_tpu.io.fasta import read_fasta
+
+    return [(n, decode_seq(c)) for n, c in read_fasta(path)]
+
+
+def compare_split(ref_fa: str, ours: list) -> dict:
+    ref = read_fasta_records(ref_fa)
+    ours_d = {n: decode_seq(c) for n, c in ours}
+    ref_d = dict(ref)
+    same = sum(1 for n, s in ref_d.items() if ours_d.get(n) == s)
+    return {"ref": len(ref_d), "ours": len(ours_d), "identical": same,
+            "exact": same == len(ref_d) == len(ours_d)}
+
+
+def _overlap(a0, a1, b0, b1):
+    inter = max(0, min(a1, b1) - max(a0, b0))
+    return inter / max(1, max(a1 - a0, b1 - b0))
+
+
+def compare_m4(ref_m4: list[dict], our_m4: list[dict],
+               min_ovlp: float = 0.9) -> dict:
+    """Greedy match per (qname, sname, qdir) requiring reciprocal overlap
+    >= min_ovlp on both query and subject intervals."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for i, m in enumerate(our_m4):
+        by_key[(m["qname"], m["sname"], m["qdir"])].append(i)
+    used = set()
+    matched = 0
+    exact = 0
+    for m in ref_m4:
+        best, best_ov = None, 0.0
+        for i in by_key.get((m["qname"], m["sname"], m["qdir"]), ()):
+            if i in used:
+                continue
+            o = our_m4[i]
+            ov = min(_overlap(m["qoff"], m["qend"], o["qoff"], o["qend"]),
+                     _overlap(m["soff"], m["send"], o["soff"], o["send"]))
+            if ov > best_ov:
+                best, best_ov = i, ov
+        if best is not None and best_ov >= min_ovlp:
+            used.add(best)
+            matched += 1
+            o = our_m4[best]
+            if (abs(m["qoff"] - o["qoff"]) <= 20
+                    and abs(m["qend"] - o["qend"]) <= 20
+                    and abs(m["soff"] - o["soff"]) <= 20
+                    and abs(m["send"] - o["send"]) <= 20):
+                exact += 1
+    return {
+        "ref_m4": len(ref_m4), "our_m4": len(our_m4),
+        "matched": matched, "exact_pm20": exact,
+        "ref_recall": matched / max(1, len(ref_m4)),
+        "our_precision": len(used) / max(1, len(our_m4)),
+    }
+
+
+def compare_signatures(ref_sigs: list[dict], our_sigs: list[dict],
+                       pos_tol: int = 100, len_ratio: float = 0.7) -> dict:
+    used = set()
+    matched = 0
+    for r in ref_sigs:
+        for i, o in enumerate(our_sigs):
+            if i in used or o["kind"] != r["kind"]:
+                continue
+            if abs(o["sfrom"] - r["sfrom"]) > pos_tol:
+                continue
+            lo, hi = sorted((o["length"], r["length"]))
+            if lo < len_ratio * hi:
+                continue
+            used.add(i)
+            matched += 1
+            break
+    return {
+        "ref_sigs": len(ref_sigs), "our_sigs": len(our_sigs),
+        "matched": matched,
+        "ref_recall": matched / max(1, len(ref_sigs)),
+        "our_precision": len(used) / max(1, len(our_sigs)),
+    }
+
+
+def one_seed(seed: int, args, bin_dir: str) -> dict:
+    wrk = os.path.join(args.out, f"seed{seed}")
+    refw = os.path.join(wrk, "ref")
+    os.makedirs(refw, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    genome = random_genome(rng, args.genome)
+    donor, truth = plant_svs(rng, genome, n_del=args.n_del, n_ins=args.n_ins,
+                             min_len=50, max_len=2000,
+                             margin=20_000, min_gap=30_000)
+    reads = simulate_reads(rng, donor, coverage=args.coverage,
+                           mean_len=args.mean_len, min_len=3_000,
+                           err=args.err)
+    ref_fa = os.path.join(wrk, "ref.fasta")
+    reads_fa = os.path.join(wrk, "reads.fasta")
+    write_fasta(ref_fa, [("chr1", genome)])
+    write_fasta(reads_fa, reads)
+
+    t0 = time.time()
+    ref_art = run_reference(bin_dir, refw, reads_fa, ref_fa, args.threads)
+    t_ref = time.time() - t0
+
+    # ours: same stages on the same input
+    from lesv_tpu.config import LesvConfig
+    from lesv_tpu.io.seqstore import SeqStore, split_subreads
+    from lesv_tpu.index.kmer_index import KmerIndex
+    from lesv_tpu.pipeline.mapper import map_all
+    from lesv_tpu.pipeline.signatures import extract_signatures
+    from lesv_tpu.pipeline.sv_reads import select_sv_reads
+
+    cfg = LesvConfig()
+    t0 = time.time()
+    split = list(split_subreads(reads, cfg.split))
+    sstore = SeqStore.from_records([("chr1", genome)])
+    index = KmerIndex.build(sstore, cfg.index)
+    m4s, qstore = map_all(split, sstore, index, cfg)
+    svrs = select_sv_reads(m4s, qstore, sstore, cfg)
+    sigs = extract_signatures(svrs, qstore, sstore, cfg)
+    t_ours = time.time() - t0
+
+    our_m4 = [dict(qname=qstore.name_of(m.qid), sname="chr1", qdir=m.qdir,
+                   qoff=m.qoff, qend=m.qend, soff=m.soff, send=m.send)
+              for m in m4s]
+    our_sigs = [dict(kind=g.kind, sid=g.subject_id, sfrom=g.sfrom,
+                     sto=g.sto, length=g.length) for g in sigs]
+
+    rep = {
+        "seed": seed,
+        "reads": len(reads),
+        "split": compare_split(ref_art["split"], split),
+        "m4": compare_m4(parse_m4_text(ref_art["m4"]), our_m4),
+        "signatures": compare_signatures(
+            parse_ref_signatures(ref_art["svsig"]), our_sigs),
+        "wall_ref_s": round(t_ref, 1),
+        "wall_ours_s": round(t_ours, 1),
+    }
+    return rep
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome", type=int, default=300_000)
+    ap.add_argument("--coverage", type=float, default=10.0)
+    ap.add_argument("--n-del", type=int, default=4)
+    ap.add_argument("--n-ins", type=int, default=4)
+    ap.add_argument("--err", type=float, default=0.08)
+    ap.add_argument("--mean-len", type=int, default=10_000)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/lesv_concordance")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX CPU backend (leave the TPU free)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platform_name", "cpu")
+    os.makedirs(args.out, exist_ok=True)
+    bin_dir = ensure_ref_bins()
+    print(f"reference binaries: {bin_dir}", file=sys.stderr)
+    reports = [one_seed(s, args, bin_dir) for s in args.seeds]
+    summary = {
+        "config": {k: getattr(args, k) for k in
+                   ("genome", "coverage", "n_del", "n_ins", "err",
+                    "mean_len", "seeds")},
+        "per_seed": reports,
+        "split_exact_all": all(r["split"]["exact"] for r in reports),
+        "m4_ref_recall_mean": float(np.mean(
+            [r["m4"]["ref_recall"] for r in reports])),
+        "m4_our_precision_mean": float(np.mean(
+            [r["m4"]["our_precision"] for r in reports])),
+        "sig_ref_recall_mean": float(np.mean(
+            [r["signatures"]["ref_recall"] for r in reports])),
+        "sig_our_precision_mean": float(np.mean(
+            [r["signatures"]["our_precision"] for r in reports])),
+    }
+    with open(os.path.join(args.out, "concordance.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--i16", type=int, default=None,
                     help="force i16 (1) / i32 (0); default: auto gate")
-    ap.add_argument("--k", type=int, default=16)
+    def _k_arg(v):
+        k = int(v)
+        if k < 2:
+            raise argparse.ArgumentTypeError("--k must be >= 2 (timing "
+                                             "subtracts one fill)")
+        return k
+
+    ap.add_argument("--k", type=_k_arg, default=16)
     ap.add_argument("--shapes", nargs="*",
                     default=["2048,512,128", "1024,1024,256",
                              "256,4096,512"])
@@ -87,9 +94,9 @@ def main():
                     return None
                 best = 1e9
                 for _ in range(3):
-                    t0 = time.time()
+                    t0 = time.perf_counter()
                     np.asarray(f(jql))
-                    best = min(best, time.time() - t0)
+                    best = min(best, time.perf_counter() - t0)
                 return best
 
             tm, to = t(many), t(one)

@@ -201,8 +201,25 @@ def _align_pairs_np(pairs, cfg, free_end):
     return out
 
 
+def _fill_devices():
+    """Local devices for round-robin fill dispatch.  All local chips are
+    used (the reference's per-host thread pool analogue,
+    `chain_and_extend_kmer_matches.c:374-460`); LESV_TPU_FILL_DEVICES
+    caps the count (tests / debugging)."""
+    import jax
+
+    devs = jax.local_devices()
+    cap = os.environ.get("LESV_TPU_FILL_DEVICES")
+    if cap:
+        devs = devs[: max(1, int(cap))]
+    return devs
+
+
 def _align_pairs_jax(pairs, cfg, free_end):
-    from lesv_tpu.ops.align_jax import banded_align_batch
+    from lesv_tpu.ops.align_jax import (
+        banded_align_dispatch,
+        banded_align_finish,
+    )
     from lesv_tpu.utils.jaxinit import setup_jax
 
     setup_jax()
@@ -229,8 +246,15 @@ def _align_pairs_jax(pairs, cfg, free_end):
 
     import jax
 
+    from lesv_tpu.utils import profiling
+
     on_cpu = jax.default_backend() == "cpu"
-    retry: list[int] = []
+    devices = _fill_devices()
+    # phase 1: dispatch every chunk (async), round-robin over devices —
+    # fills run concurrently across chips and overlap the host padding
+    # work of later chunks
+    pending: list[tuple[list[int], dict]] = []
+    di = 0
     for (Qm, Sm, W, mode), idxs in buckets.items():
         Bfix = _lanes_for(Qm, W)
         for start in range(0, len(idxs), Bfix):
@@ -251,20 +275,29 @@ def _align_pairs_jax(pairs, cfg, free_end):
                 sb[j, : len(s)] = s         # outside every band row
                 qlen[j] = len(q)
                 slen[j] = len(s)
-            from lesv_tpu.utils import profiling
+            dev = devices[di % len(devices)] if len(devices) > 1 else None
+            di += 1
+            with profiling.trace(f"align/dispatch/{mode}/W{W}"):
+                pend = banded_align_dispatch(qb, sb, qlen, slen, W, mode,
+                                             cfg, free_end=free_end,
+                                             device=dev)
+            pending.append((chunk, pend))
 
-            with profiling.trace(f"align/{mode}/W{W}"):
-                out = banded_align_batch(qb, sb, qlen, slen, W, mode, cfg,
-                                         free_end=free_end)
-            for j, i in enumerate(chunk):
-                if not out["ok"][j]:
-                    retry.append(i)
-                    continue
-                n = int(out["nops"][j])
-                ops = out["ops"][j][:n].astype(np.uint8)
-                results[i] = Alignment(
-                    0, int(out["qe"][j]), 0, int(out["se"][j]),
-                    ops, score=int(out["score"][j]))
+    # phase 2: read back + traceback in dispatch order
+    retry: list[int] = []
+    for chunk, pend in pending:
+        with profiling.trace(
+                f"align/finish/{pend['mode']}/W{pend['W']}"):
+            out = banded_align_finish(pend)
+        for j, i in enumerate(chunk):
+            if not out["ok"][j]:
+                retry.append(i)
+                continue
+            n = int(out["nops"][j])
+            ops = out["ops"][j][:n].astype(np.uint8)
+            results[i] = Alignment(
+                0, int(out["qe"][j]), 0, int(out["se"][j]),
+                ops, score=int(out["score"][j]))
     # band-escape retries: fall back to the host path with widening
     for i in retry:
         results[i] = _align_pairs_np([pairs[i]], cfg, free_end)[0]

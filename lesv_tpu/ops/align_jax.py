@@ -314,16 +314,26 @@ def _use_pallas(B: int, Qmax: int, Smax: int, W: int,
     return pallas_supported(B, Qmax, Smax, W, free_end)
 
 
-def banded_align_batch(q, s, qlen, slen, W: int, mode: str,
-                       cfg: AlignConfig | None = None,
-                       free_end: bool = False):
-    """numpy in, numpy out: fill on device, traceback on host."""
+def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
+                          cfg: AlignConfig | None = None,
+                          free_end: bool = False, device=None):
+    """Dispatch the fill (async); returns an opaque pending handle.
+
+    ``device``: optional jax device to run on (multi-chip round-robin —
+    the data-parallel use of all local chips, SURVEY §2.6).  Dispatches
+    do not block, so fills for many buckets/devices run concurrently
+    with host work until :func:`banded_align_finish` reads them back."""
     cfg = cfg or AlignConfig()
     q = np.asarray(q, np.uint8)
     s = np.asarray(s, np.uint8)
     qlen = np.asarray(qlen, np.int32)
     slen = np.asarray(slen, np.int32)
     B = q.shape[0]
+
+    def put(x):
+        a = jnp.asarray(x)
+        return jax.device_put(a, device) if device is not None else a
+
     if _use_pallas(B, q.shape[1], s.shape[1], W, free_end):
         from lesv_tpu.ops.align_pallas import pallas_banded_align_kernel
 
@@ -336,26 +346,35 @@ def banded_align_batch(q, s, qlen, slen, W: int, mode: str,
         import os
 
         dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
-            jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
-            jnp.asarray(slen), W, mode, cfg, free_end=free_end,
+            put(q), put(s), put(qlen), put(slen), W, mode, cfg,
+            free_end=free_end,
             interpret=os.environ.get("LESV_TPU_PALLAS") == "interp")
         layout = "rwb"
         if Bp != B:
             ok = ok & (jnp.arange(Bp) < B)
     else:
         dirs, score, end_i, end_b, ok = _kernel_jit(
-            jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
-            jnp.asarray(slen), W, mode, free_end,
+            put(q), put(s), put(qlen), put(slen), W, mode, free_end,
             cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
             cfg.gap_open2, cfg.gap_ext2)
         layout = "lane"
-    dirs = np.asarray(dirs)
-    score = np.asarray(score)[:B]
-    end_i = np.asarray(end_i)
-    end_b = np.asarray(end_b)
-    ok = np.asarray(ok)
+    return dict(dirs=dirs, score=score, end_i=end_i, end_b=end_b, ok=ok,
+                layout=layout, B=B, W=W, mode=mode, free_end=free_end,
+                slen=slen)
+
+
+def banded_align_finish(pend: dict):
+    """Block on a pending fill, run the host traceback, return the
+    banded_align_batch result dict."""
+    B, W, mode, free_end = (pend["B"], pend["W"], pend["mode"],
+                            pend["free_end"])
+    dirs = np.asarray(pend["dirs"])
+    score = np.asarray(pend["score"])[:B]
+    end_i = np.asarray(pend["end_i"])
+    end_b = np.asarray(pend["end_b"])
+    ok = np.asarray(pend["ok"])
     ops, nops, reached = traceback_batch(dirs, end_i, end_b, ok, W, mode,
-                                         layout=layout)
+                                         layout=pend["layout"])
     end_i = end_i[:B]
     end_b = end_b[:B]
     ok = ok[:B]
@@ -368,5 +387,13 @@ def banded_align_batch(q, s, qlen, slen, W: int, mode: str,
         "ops": ops,
         "nops": nops,
         "qe": end_i,
-        "se": np.where(free_end, se, slen[:B]),
+        "se": np.where(free_end, se, pend["slen"][:B]),
     }
+
+
+def banded_align_batch(q, s, qlen, slen, W: int, mode: str,
+                       cfg: AlignConfig | None = None,
+                       free_end: bool = False):
+    """numpy in, numpy out: fill on device, traceback on host."""
+    return banded_align_finish(
+        banded_align_dispatch(q, s, qlen, slen, W, mode, cfg, free_end))

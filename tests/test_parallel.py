@@ -35,6 +35,32 @@ def test_sharded_align_step():
     assert int(total) == int(np.where(np.asarray(ok), np.asarray(score), 0).sum())
 
 
+def test_multi_device_fill_dispatch():
+    """align_pairs round-robins fill chunks over all local devices and
+    the dispatch/finish split is bit-identical to the host oracle."""
+    from lesv_tpu.config import AlignConfig
+    from lesv_tpu.ops import align_batch as ab
+
+    assert len(ab._fill_devices()) >= 8
+    rng = np.random.default_rng(3)
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(150, 700))
+        q = rng.integers(0, 4, n).astype(np.uint8)
+        s = q.copy()
+        mut = rng.random(n) < 0.08
+        s[mut] = (s[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        pairs.append((q, s))
+    cfg = AlignConfig()
+    for free_end in (False, True):
+        dev = ab._align_pairs_jax(pairs, cfg, free_end)
+        ora = ab._align_pairs_np(pairs, cfg, free_end)
+        for a, b in zip(dev, ora):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert a.score == b.score
+
+
 def test_graft_entry():
     import jax
 

@@ -105,15 +105,42 @@ def sort_seeds_device(qoff, soff, valid):
             jnp.take_along_axis(valid, order, axis=1))
 
 
+def _use_pallas_scan() -> bool:
+    """Pallas chain scan on real TPU (or forced via LESV_TPU_CHAIN);
+    the XLA lax.scan kernel otherwise.  The scan kernel's per-step
+    buffer concatenates relayout on TPU (~5 ms/step); the Pallas kernel
+    keeps the J-window on sublanes in VMEM."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("LESV_TPU_CHAIN", "")
+    if mode == "pallas":
+        return True
+    if mode == "scan":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def chain_batch_device(qoff, soff, valid, length: int,
                        cfg: ChainConfig | None = None, J: int = 64):
     """Run sort + chain DP on device; returns host (f, p, v, qoff, soff,
     valid) arrays, p as absolute predecessor index (-1 = none)."""
+    import os
+
     cfg = cfg or ChainConfig()
     qs, ss, vs = sort_seeds_device(qoff, soff, valid)
-    f, p_rel, v = _chain_scan_kernel(
-        qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
-        max_dr=cfg.max_dist_ref, bw=cfg.max_band_width)
+    if _use_pallas_scan():
+        from lesv_tpu.ops.chain_pallas import chain_scan_pallas
+
+        f, p_rel, v = chain_scan_pallas(
+            qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
+            max_dr=cfg.max_dist_ref, bw=cfg.max_band_width,
+            interpret=os.environ.get("LESV_TPU_PALLAS") == "interp")
+    else:
+        f, p_rel, v = _chain_scan_kernel(
+            qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
+            max_dr=cfg.max_dist_ref, bw=cfg.max_band_width)
     f = np.asarray(f)
     p_rel = np.asarray(p_rel)
     v = np.asarray(v)

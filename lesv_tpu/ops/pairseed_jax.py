@@ -138,7 +138,9 @@ def pair_matches_batch(
     (qoff (B, M) i32, soff (B, M) u32 local offsets, valid, total)."""
     import jax.numpy as jnp
 
-    B = len(pairs)
+    # lane count padded to a pow2 ladder (every distinct B is a separate
+    # XLA executable; ragged tails must reuse the full-batch shape)
+    B = max(16, 1 << int(np.ceil(np.log2(max(len(pairs), 2)))))
     Qb = _pad_pow2(max((len(q) for q, _ in pairs), default=1))
     Sb = _pad_pow2(max((len(s) for _, s in pairs), default=1))
     q = np.full((B, Qb), 4, np.uint8)

@@ -238,7 +238,11 @@ def seed_matches_batch(
     R = len(reads)
     Qmax = max((len(r) for r in reads), default=1)
     Qmax = max(64, 1 << int(np.ceil(np.log2(max(Qmax, 2)))))
+    # lane count padded to a pow2 ladder: every distinct B is a separate
+    # XLA executable (minutes per compile on a tunneled TPU), so ragged
+    # tail batches must reuse the full-batch shape
     B = 2 * R
+    B = max(16, 1 << int(np.ceil(np.log2(max(B, 2)))))
     codes = np.full((B, Qmax), 4, np.uint8)
     qlen = np.zeros(B, np.int32)
     for i, r in enumerate(reads):

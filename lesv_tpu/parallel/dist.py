@@ -31,7 +31,7 @@ from lesv_tpu.index.kmer_index import KmerIndex
 from lesv_tpu.io.seqstore import SeqStore
 from lesv_tpu.io.vcf import VcfCall
 from lesv_tpu.pipeline.caller import call_svs
-from lesv_tpu.pipeline.cns import cns_group
+from lesv_tpu.pipeline.cns import cns_groups
 from lesv_tpu.pipeline.grouping import group_signatures
 from lesv_tpu.pipeline.mapper import map_all
 from lesv_tpu.pipeline.remap import remap_all
@@ -174,9 +174,7 @@ def distributed_call(
     # shard groups across hosts; every host has the full merged read set
     my_groups = [groups[i] for i in
                  shard_strided(len(groups), ex.host_id, ex.n_hosts)]
-    corrected = []
-    for g in my_groups:
-        corrected.extend(cns_group(g, merged_store, cfg))
+    corrected = cns_groups(my_groups, merged_store, cfg)
     remapped = remap_all(corrected, sstore, cfg)
 
     gathered = ex.allgather(pickle.dumps(remapped))

@@ -13,7 +13,79 @@ import numpy as np
 from lesv_tpu.config import LesvConfig
 from lesv_tpu.ops.align_np import Alignment
 from lesv_tpu.ops.anchored import anchored_align_many
+from lesv_tpu.ops.chain import Chain
 from lesv_tpu.ops.pairseed import pair_chains
+
+
+def _pair_chain_cfg(cfg: LesvConfig):
+    """ChainConfig with pair-seeding semantics (min_cnt=1, min_score=30,
+    `init_hit_finder.c:26-27`)."""
+    import dataclasses
+
+    c = dataclasses.replace(cfg.chain)
+    c.min_seed_cnt = 1
+    c.min_chain_score = 30
+    return c
+
+
+def _shrink_M(total: np.ndarray, M: int, lo: int = 256) -> int:
+    """pow2 slot count covering every lane's (budget-clamped) match
+    count; match buffers beyond it hold only invalid slots."""
+    need = int(np.minimum(np.asarray(total), M).max(initial=0))
+    Mp = lo
+    while Mp < need:
+        Mp *= 2
+    return min(Mp, M)
+
+
+def batch_pair_chains(
+    pairs: list[tuple[np.ndarray, np.ndarray]],
+    cfg: LesvConfig,
+    k: int = 12,
+) -> list[list[Chain]]:
+    """Chains for many (q, s) pairs in one sweep.
+
+    Device-batched (pairseed_jax + chain_jax, bucketed by padded shape)
+    when cfg.map.engine == "device"; the per-pair host oracle otherwise.
+    Lanes whose true match count exceeds the budget fall back to the
+    host oracle (identical semantics either way)."""
+    if cfg.map.engine != "device":
+        return [pair_chains(q, s, k=k, cfg=cfg.chain) for q, s in pairs]
+
+    from lesv_tpu.ops.chain_jax import chain_lanes
+    from lesv_tpu.ops.pairseed_jax import _pad_pow2, pair_matches_batch
+    from lesv_tpu.utils import profiling
+
+    import jax.numpy as jnp
+
+    pcfg = _pair_chain_cfg(cfg)
+    out: list[list[Chain]] = [[] for _ in pairs]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (q, s) in enumerate(pairs):
+        if len(q) < k or len(s) < k:
+            continue
+        buckets.setdefault(
+            (_pad_pow2(len(q)), _pad_pow2(len(s))), []).append(i)
+    M = cfg.map.pair_match_budget
+    for _, idxs in sorted(buckets.items()):
+        chunk = [pairs[i] for i in idxs]
+        with profiling.trace("pairseed_device"):
+            qoff, soff, valid, total = pair_matches_batch(chunk, k=k, M=M)
+        # valid slots are a prefix (the expansion fills 0..total-1), so
+        # the chain DP only needs pow2(max total) slots — usually far
+        # fewer scan steps than the full budget
+        Mp = _shrink_M(total, M)
+        with profiling.trace("pairchain_device"):
+            lanes = chain_lanes(jnp.asarray(qoff[:, :Mp]),
+                                jnp.asarray(soff[:, :Mp]),
+                                jnp.asarray(valid[:, :Mp]), k, pcfg,
+                                J=cfg.chain.lookback)
+        for j, i in enumerate(idxs):
+            if total[j] > M:
+                out[i] = pair_chains(*pairs[i], k=k, cfg=cfg.chain)
+            else:
+                out[i] = lanes[j]
+    return out
 
 
 def chain_and_align_many(
@@ -23,12 +95,10 @@ def chain_and_align_many(
     k: int = 12,
 ) -> list[Alignment | None]:
     """Best-chain anchored alignment for each (q, s) pair, batched."""
+    all_chains = batch_pair_chains(pairs, cfg, k=k)
     tasks = []
     mapping = []
-    for i, (q, s) in enumerate(pairs):
-        if len(q) < k or len(s) < k:
-            continue
-        chains = pair_chains(q, s, k=k, cfg=cfg.chain)
+    for i, ((q, s), chains) in enumerate(zip(pairs, all_chains)):
         if chains:
             tasks.append((q, s, chains[0].anchors, k))
             mapping.append(i)

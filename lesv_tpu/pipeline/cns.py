@@ -30,7 +30,6 @@ from lesv_tpu.ops.consensus import (
     coverage_from_tags,
     tags_from_ops,
 )
-from lesv_tpu.ops.pairseed import pair_chains
 from lesv_tpu.pipeline.grouping import SvGroup
 from lesv_tpu.pipeline.signatures import SvSignature
 
@@ -90,86 +89,176 @@ def _group_reads(group: SvGroup, qstore: SeqStore) -> list[GroupRead]:
     return out
 
 
-def _best_overlap(query: GroupRead, template_read: GroupRead,
-                  cfg: LesvConfig):
-    """Best overlap of query (either strand) onto the template read.
+def _all_overlap_cands(
+    read_lists: list[list[GroupRead]],
+    cfg: LesvConfig,
+) -> list[list[list[tuple]]]:
+    """Best-strand overlap chains for every (group, template, other)
+    triple, computed in two global batched sweeps.
 
-    The expected relative orientation (fsqdir XOR) is tried first; the
-    other strand is only searched when the expected one finds nothing
-    strong (the reference searches F_R unconditionally,
-    `cns_one_group.c:337-339`)."""
-    exp = query.fsqdir ^ template_read.fsqdir
-    order = (exp, 1 - exp)
-    best = None
-    for sdir in order:
-        q = query.seq if sdir == 0 else revcomp(query.seq)
-        chains = pair_chains(q, template_read.seq, cfg=cfg.chain)
-        if chains and (best is None or chains[0].score > best[0].score):
-            best = (chains[0], sdir, q)
-        if best is not None and sdir == exp and best[0].score >= 1000:
-            break
-    return best
+    Reproduces `_best_overlap` semantics per triple (the reference's
+    `cns_one_group.c:337-339` orientation search): the expected relative
+    orientation (fsqdir XOR) is chained first; the other strand is only
+    consulted when the expected one scores < 1000, and wins only on a
+    strictly greater score.  Returns cands[g][i] = ordered list of
+    (j, chain, sdir, oriented_query)."""
+    triples: list[tuple[int, int, int]] = []   # (g, tmpl i, other j)
+    for g, reads in enumerate(read_lists):
+        for i, tmpl in enumerate(reads):
+            if len(tmpl.seq) == 0:
+                continue
+            for j, other in enumerate(reads):
+                if j == i or len(other.seq) == 0:
+                    continue
+                triples.append((g, i, j))
+
+    # oriented query cache: (g, j, sdir) -> seq
+    oq: dict[tuple[int, int, int], np.ndarray] = {}
+
+    def oriented(g: int, j: int, sdir: int) -> np.ndarray:
+        key = (g, j, sdir)
+        if key not in oq:
+            seq = read_lists[g][j].seq
+            oq[key] = seq if sdir == 0 else revcomp(seq)
+        return oq[key]
+
+    from lesv_tpu.pipeline.batch_align import batch_pair_chains
+
+    # sweep 1: expected strand for every triple
+    exp_dirs = [read_lists[g][j].fsqdir ^ read_lists[g][i].fsqdir
+                for g, i, j in triples]
+    pairs = [(oriented(g, j, d), read_lists[g][i].seq)
+             for (g, i, j), d in zip(triples, exp_dirs)]
+    exp_chains = batch_pair_chains(pairs, cfg)
+
+    # sweep 2: the other strand where the expected one isn't decisive
+    need2 = [t for t, ch in enumerate(exp_chains)
+             if not ch or ch[0].score < 1000]
+    pairs2 = [(oriented(triples[t][0], triples[t][2], 1 - exp_dirs[t]),
+               read_lists[triples[t][0]][triples[t][1]].seq)
+              for t in need2]
+    alt_chains = batch_pair_chains(pairs2, cfg) if pairs2 else []
+    alt_of = dict(zip(need2, alt_chains))
+
+    cands: list[list[list[tuple]]] = [
+        [[] for _ in reads] for reads in read_lists]
+    for t, (g, i, j) in enumerate(triples):
+        d = exp_dirs[t]
+        best = (exp_chains[t][0], d) if exp_chains[t] else None
+        alt = alt_of.get(t)
+        if alt:
+            if best is None or alt[0].score > best[0].score:
+                best = (alt[0], 1 - d)
+        if best is None:
+            continue
+        chain, sdir = best
+        cands[g][i].append((j, chain, sdir, oriented(g, j, sdir)))
+    return cands
 
 
-def correct_one_read(
-    reads: list[GroupRead],
-    tmpl_idx: int,
+class _TemplateState:
+    """Per-template admission state (reference correct_one_sv_read's
+    in-order coverage-capped accumulation, `cns_one_group.c:302-441`)."""
+
+    __slots__ = ("g", "i", "cands", "pos", "cov", "tags", "num_added",
+                 "full")
+
+    def __init__(self, g: int, i: int, cands: list, T: int):
+        self.g = g
+        self.i = i
+        self.cands = cands
+        self.pos = 0
+        self.cov = np.zeros(T, np.int64)
+        self.tags: list[np.ndarray] = []
+        self.num_added = 0
+        self.full = False
+
+    def done(self) -> bool:
+        return self.full or self.pos >= len(self.cands)
+
+
+def _run_round(
+    read_lists: list[list[GroupRead]],
     cfg: LesvConfig,
     min_ident: float,
-) -> GroupRead | None:
-    """One template-correction pass (reference correct_one_sv_read).
+) -> list[list[GroupRead]]:
+    """One correction round over every group at once.
 
-    Overlap alignments run in device-batched waves; the reference's
-    in-order coverage cap is applied between waves."""
+    All overlap chains run in two global sweeps; overlap alignments run
+    in global waves (every unfinished template contributes its next
+    candidate chunk); admission is then replayed per template in
+    reference order, so accepted overlaps / coverage caps / tag sets are
+    identical to the sequential per-template loop."""
     ccfg = cfg.cns
-    tmpl_read = reads[tmpl_idx]
-    template = tmpl_read.seq
+    cands = _all_overlap_cands(read_lists, cfg)
+    states: list[_TemplateState] = []
+    for g, reads in enumerate(read_lists):
+        for i, tmpl in enumerate(reads):
+            if len(tmpl.seq) == 0:
+                continue
+            states.append(_TemplateState(g, i, cands[g][i], len(tmpl.seq)))
+
+    # global alignment waves: first chunk covers the coverage cap with
+    # slack (identity failures are rare), later chunks top up stragglers
+    first_chunk = ccfg.max_cns_cov + 5
+    next_chunk = 8
+    pending = [st for st in states if not st.done()]
+    while pending:
+        tasks = []
+        owners: list[tuple[_TemplateState, int]] = []
+        for st in pending:
+            tmpl_seq = read_lists[st.g][st.i].seq
+            chunk = first_chunk if st.pos == 0 else next_chunk
+            for idx in range(st.pos, min(st.pos + chunk, len(st.cands))):
+                j, chain, sdir, q = st.cands[idx]
+                tasks.append((q, tmpl_seq, chain.anchors, 12))
+                owners.append((st, idx))
+        alns = anchored_align_many(tasks, cfg.align)
+        by_state: dict[int, dict[int, object]] = {}
+        for (st, idx), aln in zip(owners, alns):
+            by_state.setdefault(id(st), {})[idx] = aln
+        for st in pending:
+            got = by_state.get(id(st), {})
+            tmpl_seq = read_lists[st.g][st.i].seq
+            while st.pos < len(st.cands) and not st.full:
+                if st.pos not in got:
+                    break
+                j, chain, sdir, q = st.cands[st.pos]
+                aln = got[st.pos]
+                st.pos += 1
+                sb, se = chain.sbeg, chain.send
+                if (j >= ccfg.max_cns_cov
+                        and (st.cov[sb:se] >= ccfg.max_cns_cov).all()):
+                    continue
+                if aln is None or len(aln.ops) == 0:
+                    continue
+                mm = match_mask(aln.ops, q, tmpl_seq, aln.qb, aln.sb)
+                pid = 100.0 * mm.sum() / len(aln.ops)
+                if pid < min_ident:
+                    continue
+                st.cov[aln.sb : aln.se] += 1
+                st.num_added += 1
+                st.tags.append(tags_from_ops(aln.ops, q, aln.qb, aln.sb))
+                if (st.num_added >= ccfg.max_cns_cov
+                        and (st.cov >= ccfg.max_cns_cov).all()):
+                    st.full = True
+        pending = [st for st in pending if not st.done()]
+
+    # consensus DP per template (host, tiny)
+    out: list[list[GroupRead]] = [[] for _ in read_lists]
+    for st in states:
+        r = _finish_template(read_lists[st.g][st.i], st, ccfg)
+        if r is not None:
+            out[st.g].append(r)
+    return out
+
+
+def _finish_template(src: GroupRead, st: _TemplateState,
+                     ccfg) -> GroupRead | None:
+    template = src.seq
     T = len(template)
-    if T == 0:
-        return None
-    cov = np.zeros(T, np.int64)
-    all_tags: list[np.ndarray] = []
-    num_added = 0
-    cands = []
-    for j, other in enumerate(reads):
-        if j == tmpl_idx or len(other.seq) == 0:
-            continue
-        hit = _best_overlap(other, tmpl_read, cfg)
-        if hit is None:
-            continue
-        cands.append((j, *hit))
-    WAVE = 16
-    idx = 0
-    full = False
-    while idx < len(cands) and not full:
-        batch_tasks = []
-        batch_meta = []
-        while idx < len(cands) and len(batch_tasks) < WAVE:
-            j, chain, sdir, q = cands[idx]
-            idx += 1
-            sb, se = chain.sbeg, chain.send
-            if j >= ccfg.max_cns_cov and (cov[sb:se] >= ccfg.max_cns_cov).all():
-                continue
-            batch_tasks.append((q, template, chain.anchors, 12))
-            batch_meta.append((j, q))
-        if not batch_tasks:
-            continue
-        alns = anchored_align_many(batch_tasks, cfg.align)
-        for (j, q), aln in zip(batch_meta, alns):
-            if aln is None or len(aln.ops) == 0:
-                continue
-            mm = match_mask(aln.ops, q, template, aln.qb, aln.sb)
-            pid = 100.0 * mm.sum() / len(aln.ops)
-            if pid < min_ident:
-                continue
-            cov[aln.sb : aln.se] += 1
-            num_added += 1
-            all_tags.append(tags_from_ops(aln.ops, q, aln.qb, aln.sb))
-            if num_added >= ccfg.max_cns_cov and (cov >= ccfg.max_cns_cov).all():
-                full = True
-                break
     # longest >= min_cov covered segment
-    ok = cov >= ccfg.min_cov
+    ok = st.cov >= ccfg.min_cov
     frm = to = 0
     best_len = 0
     i = 0
@@ -185,7 +274,8 @@ def correct_one_read(
         i = j
     if best_len < ccfg.min_size:
         return None
-    tags = np.concatenate(all_tags) if all_tags else np.empty((0, 6), np.int32)
+    tags = (np.concatenate(st.tags) if st.tags
+            else np.empty((0, 6), np.int32))
     if len(tags) == 0:
         return None
     weights = np.full(len(tags), ccfg.cns_weight)
@@ -194,7 +284,6 @@ def correct_one_read(
         tags, weights, full_cov, frm, to, ccfg.indel_cov_factor)
     if len(cns_seq) < ccfg.min_size:
         return None
-    src = reads[tmpl_idx]
     new_seq = np.concatenate([template[:frm2], cns_seq, template[to2:]])
     return GroupRead(
         global_id=src.global_id, name=src.name, seq=new_seq,
@@ -203,33 +292,33 @@ def correct_one_read(
     )
 
 
+def cns_groups(
+    groups: list[SvGroup],
+    qstore: SeqStore,
+    cfg: LesvConfig | None = None,
+) -> list[CorrectedRead]:
+    """Two consensus rounds over ALL groups, globally batched."""
+    cfg = cfg or LesvConfig()
+    read_lists = [_group_reads(g, qstore) for g in groups]
+    round1 = _run_round(read_lists, cfg, cfg.cns.cns1_perc_identity)
+    round2 = _run_round(round1, cfg, cfg.cns.cns2_perc_identity)
+    out: list[CorrectedRead] = []
+    for g, group in enumerate(groups):
+        for r in round2[g]:
+            out.append(CorrectedRead(
+                global_id=r.global_id, name=r.name, seq=r.seq,
+                cns_from=r.raw_seq_from, cns_to=r.raw_seq_to,
+                fsqdir=r.fsqdir, subject_id=group.subject_id,
+                fsfrom=r.fsfrom, fsto=r.fsto,
+                group_id=group.group_id, kind=group.kind,
+            ))
+    return out
+
+
 def cns_group(
     group: SvGroup,
     qstore: SeqStore,
     cfg: LesvConfig | None = None,
 ) -> list[CorrectedRead]:
     """Two consensus rounds over one group; returns corrected reads."""
-    cfg = cfg or LesvConfig()
-    reads = _group_reads(group, qstore)
-    round1: list[GroupRead] = []
-    for i in range(len(reads)):
-        r = correct_one_read(reads, i, cfg, cfg.cns.cns1_perc_identity)
-        if r is not None:
-            round1.append(r)
-    if not round1:
-        return []
-    round2: list[GroupRead] = []
-    for i in range(len(round1)):
-        r = correct_one_read(round1, i, cfg, cfg.cns.cns2_perc_identity)
-        if r is not None:
-            round2.append(r)
-    out = []
-    for r in round2:
-        out.append(CorrectedRead(
-            global_id=r.global_id, name=r.name, seq=r.seq,
-            cns_from=r.raw_seq_from, cns_to=r.raw_seq_to,
-            fsqdir=r.fsqdir, subject_id=group.subject_id,
-            fsfrom=r.fsfrom, fsto=r.fsto,
-            group_id=group.group_id, kind=group.kind,
-        ))
-    return out
+    return cns_groups([group], qstore, cfg)

@@ -20,7 +20,7 @@ from lesv_tpu.io.sam import sam_header, sam_record
 from lesv_tpu.io.seqstore import SeqStore, split_subreads
 from lesv_tpu.io.vcf import VcfCall, write_vcf
 from lesv_tpu.pipeline.caller import call_svs
-from lesv_tpu.pipeline.cns import cns_group
+from lesv_tpu.pipeline.cns import cns_groups
 from lesv_tpu.pipeline.grouping import group_signatures
 from lesv_tpu.pipeline.mapper import map_all
 from lesv_tpu.pipeline.remap import remap_all
@@ -125,10 +125,7 @@ def run_pipeline(
     stats["groups"] = len(groups)
 
     def _cns():
-        corrected = []
-        for g in groups:
-            corrected.extend(cns_group(g, qstore, cfg))
-        return corrected
+        return cns_groups(groups, qstore, cfg)
 
     corrected = stage("consensus", _cns, sio.save_corrected, sio.load_corrected)
     stats["corrected_reads"] = len(corrected)

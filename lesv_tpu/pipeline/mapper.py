@@ -165,62 +165,20 @@ def _chains_by_read_device(
         with profiling.trace("map/seed_device"):
             qoff, soff, valid, total = seed_matches_batch(
                 reads, index, cfg.seeding, M=M)
-        with profiling.trace("map/chain_device"):
-            lanes = chain_lanes(qoff, soff, valid, index.k, cfg.chain,
-                                J=cfg.chain.lookback)
         total = np.asarray(total)
+        from lesv_tpu.pipeline.batch_align import _shrink_M
+
+        Mp = _shrink_M(total, M)
+        with profiling.trace("map/chain_device"):
+            lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
+                                valid[:, :Mp], index.k, cfg.chain,
+                                J=cfg.chain.lookback)
         for j, i in enumerate(idxs):
             if total[2 * j] > M or total[2 * j + 1] > M:
                 # budget overflow (repeat-dense read): host oracle
                 out[i] = _chains_by_read_host(batch[i][1], index, cfg)
             else:
                 out[i] = {FWD: lanes[2 * j], REV: lanes[2 * j + 1]}
-    return out
-
-
-def _pair_cfg(cfg: LesvConfig):
-    """ChainConfig for window re-seeding (pair_chains semantics:
-    min_cnt=1, min_score=30)."""
-    import dataclasses
-
-    c = dataclasses.replace(cfg.chain)
-    c.min_seed_cnt = 1
-    c.min_chain_score = 30
-    return c
-
-
-def _window_chains_device(
-    wtasks: list[tuple[np.ndarray, np.ndarray]],
-    cfg: LesvConfig,
-) -> list[list[Chain]]:
-    """Batched device pair seeding + chaining for all (query, window)
-    tasks, bucketed by padded shape; host fallback on budget overflow."""
-    from lesv_tpu.ops.chain_jax import chain_lanes
-    from lesv_tpu.ops.pairseed_jax import _pad_pow2, pair_matches_batch
-    from lesv_tpu.utils import profiling
-
-    import jax.numpy as jnp
-
-    pcfg = _pair_cfg(cfg)
-    out: list[list[Chain]] = [[] for _ in wtasks]
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i, (q, s) in enumerate(wtasks):
-        buckets.setdefault(
-            (_pad_pow2(len(q)), _pad_pow2(len(s))), []).append(i)
-    M = cfg.map.pair_match_budget
-    for _, idxs in sorted(buckets.items()):
-        pairs = [wtasks[i] for i in idxs]
-        with profiling.trace("map/pairseed_device"):
-            qoff, soff, valid, total = pair_matches_batch(pairs, M=M)
-        with profiling.trace("map/pairchain_device"):
-            lanes = chain_lanes(jnp.asarray(qoff), jnp.asarray(soff),
-                                jnp.asarray(valid), 12, pcfg,
-                                J=cfg.chain.lookback)
-        for j, i in enumerate(idxs):
-            if total[j] > M:
-                out[i] = pair_chains(*wtasks[i], cfg=cfg.chain)
-            else:
-                out[i] = lanes[j]
     return out
 
 
@@ -235,6 +193,7 @@ def map_batch(
     host oracle; candidate-window logic on host; all window-chain
     extensions in one device-batched sweep."""
     from lesv_tpu.ops.anchored import anchored_align_many
+    from lesv_tpu.pipeline.batch_align import batch_pair_chains
 
     cfg = cfg or LesvConfig()
     device = cfg.map.engine == "device"
@@ -258,11 +217,7 @@ def map_batch(
             wtasks.append((q, sseq))
             wmeta.append((qid, qlen, w))
 
-    if device:
-        wchains_all = _window_chains_device(wtasks, cfg)
-    else:
-        wchains_all = [pair_chains(q, s, cfg=cfg.chain)
-                       for q, s in wtasks]
+    wchains_all = batch_pair_chains(wtasks, cfg)
 
     tasks = []   # (q, sseq, anchors, k)
     meta = []    # (qid, qlen, window, chain)

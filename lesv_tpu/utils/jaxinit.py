@@ -23,6 +23,10 @@ def setup_jax(cache_dir: str | None = None) -> None:
         "LESV_TPU_XLA_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "lesv_tpu_xla"))
     try:
+        # one subdirectory per backend: concurrent CPU + TPU processes
+        # must never share cache files (a reader racing a writer has
+        # produced torn-file segfaults inside the zstd codec)
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

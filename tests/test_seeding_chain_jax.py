@@ -182,3 +182,39 @@ def test_map_batch_device_equals_host_engine():
     m4_h, _ = map_all(reads, store, index, cfg_h)
     key = lambda m: (m.qid, m.qdir, m.qoff, m.qend, m.soff, m.send, m.score)
     assert sorted(map(key, m4_d)) == sorted(map(key, m4_h))
+
+
+def test_chain_scan_pallas_equals_xla_scan():
+    """The Pallas chain-DP kernel (interpret mode on CPU) must match the
+    XLA lax.scan kernel bit for bit on (f, p_rel, v), including
+    genome-scale u32 subject offsets and the first-max tie rule."""
+    import jax.numpy as jnp
+
+    from lesv_tpu.ops.chain_jax import _chain_scan_kernel, sort_seeds_device
+    from lesv_tpu.ops.chain_pallas import chain_scan_pallas
+
+    rng = np.random.default_rng(3)
+    B, M, J = 8, 512, 64
+    qoff = np.zeros((B, M), np.int32)
+    soff = np.zeros((B, M), np.uint32)
+    valid = np.zeros((B, M), bool)
+    for b in range(B):
+        n = int(rng.integers(40, M))
+        base = rng.integers(0, 3_000_000_000, dtype=np.uint64)
+        q = np.sort(rng.integers(0, 20_000, n)).astype(np.int32)
+        s = (base + q.astype(np.uint64)
+             + rng.integers(0, 1600, n).astype(np.uint64))
+        noise = rng.random(n) < 0.2
+        s[noise] = base + rng.integers(0, 40_000, int(noise.sum()))
+        qoff[b, :n] = q
+        soff[b, :n] = s.astype(np.uint32)
+        valid[b, :n] = True
+
+    qs, ss, vs = sort_seeds_device(jnp.asarray(qoff), jnp.asarray(soff),
+                                   jnp.asarray(valid))
+    args = dict(J=J, length=15, max_dq=5000, max_dr=5000, bw=1500)
+    f1, p1, v1 = _chain_scan_kernel(qs, ss, vs, **args)
+    f2, p2, v2 = chain_scan_pallas(qs, ss, vs, interpret=True, **args)
+    vs_np = np.asarray(vs)
+    for a, b_ in ((f1, f2), (p1, p2), (v1, v2)):
+        assert (np.asarray(a) == np.asarray(b_))[vs_np].all()

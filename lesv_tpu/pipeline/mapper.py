@@ -194,30 +194,35 @@ def map_batch(
     extensions in one device-batched sweep."""
     from lesv_tpu.ops.anchored import anchored_align_many
     from lesv_tpu.pipeline.batch_align import batch_pair_chains
+    from lesv_tpu.utils import profiling
 
     cfg = cfg or LesvConfig()
     device = cfg.map.engine == "device"
     live = [(qid, read) for qid, read in batch
             if len(read) >= max(cfg.map.min_query_size, index.k)]
-    if device:
-        all_chains = _chains_by_read_device(live, index, cfg)
-    else:
-        all_chains = [_chains_by_read_host(read, index, cfg)
-                      for _, read in live]
+    with profiling.trace("map/read_chains"):
+        if device:
+            all_chains = _chains_by_read_device(live, index, cfg)
+        else:
+            all_chains = [_chains_by_read_host(read, index, cfg)
+                          for _, read in live]
 
     # candidate windows (host, tiny); collect window re-seed tasks
     wtasks: list[tuple[np.ndarray, np.ndarray]] = []
     wmeta: list[tuple[int, int, CandidateWindow]] = []
-    for (qid, read), chains_by_dir in zip(live, all_chains):
-        qlen = len(read)
-        windows = find_candidate_windows(chains_by_dir, index, qlen, cfg)
-        for w in windows:
-            sseq = store.get(w.sid, w.sfrom, w.sto)
-            q = read if w.qdir == FWD else revcomp(read)
-            wtasks.append((q, sseq))
-            wmeta.append((qid, qlen, w))
+    with profiling.trace("map/windows"):
+        for (qid, read), chains_by_dir in zip(live, all_chains):
+            qlen = len(read)
+            windows = find_candidate_windows(chains_by_dir, index, qlen,
+                                             cfg)
+            for w in windows:
+                sseq = store.get(w.sid, w.sfrom, w.sto)
+                q = read if w.qdir == FWD else revcomp(read)
+                wtasks.append((q, sseq))
+                wmeta.append((qid, qlen, w))
 
-    wchains_all = batch_pair_chains(wtasks, cfg)
+    with profiling.trace("map/window_chains"):
+        wchains_all = batch_pair_chains(wtasks, cfg)
 
     tasks = []   # (q, sseq, anchors, k)
     meta = []    # (qid, qlen, window, chain)
@@ -226,28 +231,31 @@ def map_batch(
         for c in wchains[: cfg.map.max_hsps]:
             tasks.append((q, sseq, c.anchors, 12))
             meta.append((qid, qlen, w, c))
-    alns = anchored_align_many(tasks, cfg.align)
+    with profiling.trace("map/extend"):
+        alns = anchored_align_many(tasks, cfg.align)
     per_qid: dict[int, list[M4]] = {}
-    for (qid, qlen, w, c), (q, sseq, _, _), aln in zip(meta, tasks, alns):
-        if aln is None:
-            continue
-        if aln.qe - aln.qb < cfg.map.qcov_hsp_res:
-            continue
-        mm = match_mask(aln.ops, q, sseq, aln.qb, aln.sb)
-        n_match = int(mm.sum())
-        pid = 100.0 * n_match / len(aln.ops) if len(aln.ops) else 0.0
-        if pid < cfg.map.perc_identity:
-            continue
-        m4 = M4(
-            qid=qid, qdir=w.qdir, qoff=aln.qb, qend=aln.qe, qsize=qlen,
-            sid=w.sid, soff=w.sfrom + aln.sb, send=w.sfrom + aln.se,
-            ssize=store.seq_size(w.sid),
-            ident_perc=pid, score=aln.score,
-            dist=len(aln.ops) - n_match, ops=aln.ops,
-        )
-        lst = per_qid.setdefault(qid, [])
-        if not _hsp_contained(lst, m4):
-            lst.append(m4)
+    with profiling.trace("map/filter"):
+        for (qid, qlen, w, c), (q, sseq, _, _), aln in zip(meta, tasks,
+                                                           alns):
+            if aln is None:
+                continue
+            if aln.qe - aln.qb < cfg.map.qcov_hsp_res:
+                continue
+            mm = match_mask(aln.ops, q, sseq, aln.qb, aln.sb)
+            n_match = int(mm.sum())
+            pid = (100.0 * n_match / len(aln.ops)) if len(aln.ops) else 0.0
+            if pid < cfg.map.perc_identity:
+                continue
+            m4 = M4(
+                qid=qid, qdir=w.qdir, qoff=aln.qb, qend=aln.qe, qsize=qlen,
+                sid=w.sid, soff=w.sfrom + aln.sb, send=w.sfrom + aln.se,
+                ssize=store.seq_size(w.sid),
+                ident_perc=pid, score=aln.score,
+                dist=len(aln.ops) - n_match, ops=aln.ops,
+            )
+            lst = per_qid.setdefault(qid, [])
+            if not _hsp_contained(lst, m4):
+                lst.append(m4)
     out: list[M4] = []
     for qid in sorted(per_qid):
         lst = per_qid[qid]

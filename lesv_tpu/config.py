@@ -92,7 +92,9 @@ class MapConfig:
     subseq_margin_factor: float = 1.3  # window = 1.3x qlen (`hbn_find_subseq_hit.c:119-156`)
     subseq_max_gap: int = 30_000       # +<=30kb margin
     min_query_size: int = 0
-    batch_reads: int = 64          # device batch of read tiles
+    # reads per map_batch: large batches amortize per-dispatch transport
+    # (inner device calls chunk at 64 reads / pairs regardless)
+    batch_reads: int = 512
     # seeding/chaining engine: "device" (batched JAX kernels,
     # ops/{seeding,chain,pairseed}_jax) or "host" (per-read numpy oracle)
     engine: str = "device"

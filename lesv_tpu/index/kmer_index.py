@@ -12,9 +12,10 @@ arrays are plain device-transferable tensors, replicated per host
 (SURVEY.md §2.6).
 
 Hash definition: MSB-first 2-bit pack of the k-mer,
-``hash = sum(code[i] << 2*(k-1-i))``; fits int32 for k <= 15 (device path),
-int64 otherwise (host path; device support for k>16 via 32-bit pair keys is
-future work).
+``hash = sum(code[i] << 2*(k-1-i))``, int64 on the host; the device path
+(ops.seeding_jax) splits it into two int32 limbs (lo = 19 bits, hi the
+rest), supporting any k <= 25 — including the ultra-long preset's k=19
+(`README.md:149-172`).
 """
 
 from __future__ import annotations

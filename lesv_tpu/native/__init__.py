@@ -18,6 +18,15 @@ _SO = os.path.join(_DIR, "liblesv_native.so")
 
 _lib = None
 _tried = False
+_REC_N = 0
+# debugging aid: comma-separated native entry points to disable
+# (callers fall back to their numpy oracles)
+_DISABLED = set(filter(None, os.environ.get(
+    "LESV_TPU_NATIVE_DISABLE", "").split(",")))
+
+
+def _off(name: str) -> bool:
+    return name in _DISABLED
 
 
 def _load():
@@ -74,6 +83,8 @@ def available() -> bool:
 def chain_score(qoff: np.ndarray, soff: np.ndarray, length: int,
                 max_dist_qry: int, max_dist_ref: int, band_width: int):
     """Native chain-DP scoring; returns (f, p) or None if unavailable."""
+    if _off("chain_score"):
+        return None
     lib = _load()
     if lib is None:
         return None
@@ -89,6 +100,8 @@ def chain_score(qoff: np.ndarray, soff: np.ndarray, length: int,
 
 def extend_matches(q: np.ndarray, s: np.ndarray, k: int,
                    qoff: np.ndarray, soff: np.ndarray):
+    if _off("extend_matches"):
+        return None
     lib = _load()
     if lib is None:
         return None
@@ -109,6 +122,8 @@ def banded_align_one(q: np.ndarray, s: np.ndarray, W: int, mode_diag: bool,
 
     Returns (ops forward uint8, score, qe, se) or None (band escape /
     lib unavailable)."""
+    if _off("banded_align_one"):
+        return None
     lib = _load()
     if lib is None:
         return None
@@ -151,6 +166,8 @@ def traceback_batch(dirs: np.ndarray, end_i: np.ndarray,
     Pallas fill's natural layout).
 
     Returns (ops (B,T) uint8 forward order, nops, reached) or None."""
+    if _off("traceback_batch"):
+        return None
     lib = _load()
     if lib is None:
         return None
@@ -184,6 +201,14 @@ def chain_extract(f: np.ndarray, p: np.ndarray, v: np.ndarray,
 
     Returns (paths, bounds, scores, n_chains) or None if unavailable;
     chain c's ascending seed indices are paths[bounds[c]:bounds[c+1]]."""
+    if _off("chain_extract"):
+        return None
+    rec = os.environ.get("LESV_TPU_NATIVE_RECORD")
+    if rec:
+        global _REC_N
+        np.savez(os.path.join(rec, f"ce_{_REC_N:06d}.npz"),
+                 f=f, p=p, v=v, ms=min_score, mc=min_cnt, mx=max_chains)
+        _REC_N += 1
     lib = _load()
     if lib is None:
         return None
@@ -202,6 +227,8 @@ def chain_extract(f: np.ndarray, p: np.ndarray, v: np.ndarray,
 
 def fccns_link_dp(link_col: np.ndarray, pred_col: np.ndarray,
                   link_w: np.ndarray, cov_pen: np.ndarray, n_cols: int):
+    if _off("fccns_link_dp"):
+        return None
     lib = _load()
     if lib is None:
         return None

@@ -329,6 +329,14 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
     qlen = np.asarray(qlen, np.int32)
     slen = np.asarray(slen, np.int32)
     B = q.shape[0]
+    # live lanes are a prefix (padding lanes have qlen == 0); the dirs
+    # transfer back to the host dominates on tunneled devices, so dead
+    # lanes and dead query rows are sliced off ON DEVICE before the
+    # readback (pow2 ladders keep the slice-executable count bounded)
+    nz = np.flatnonzero(qlen > 0)
+    n_live = int(nz[-1]) + 1 if len(nz) else 1
+    Bs = _pow2ceil(n_live, lo=8)
+    Rq = _pow2ceil(int(qlen.max(initial=0)) + 1, lo=16)
 
     def put(x):
         a = jnp.asarray(x)
@@ -352,15 +360,27 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
         layout = "rwb"
         if Bp != B:
             ok = ok & (jnp.arange(Bp) < B)
+        Bs2 = min(Bs, dirs.shape[2])
+        dirs = dirs[: min(Rq, dirs.shape[0]), :, :Bs2]
     else:
         dirs, score, end_i, end_b, ok = _kernel_jit(
             put(q), put(s), put(qlen), put(slen), W, mode, free_end,
             cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
             cfg.gap_open2, cfg.gap_ext2)
         layout = "lane"
+        Bs2 = min(Bs, dirs.shape[0])
+        dirs = dirs[:Bs2, : min(Rq, dirs.shape[1]), :]
+    score, end_i, end_b, ok = (x[:Bs2] for x in (score, end_i, end_b, ok))
     return dict(dirs=dirs, score=score, end_i=end_i, end_b=end_b, ok=ok,
-                layout=layout, B=B, W=W, mode=mode, free_end=free_end,
-                slen=slen)
+                layout=layout, B=min(n_live, Bs2), B_orig=B, W=W,
+                mode=mode, free_end=free_end, slen=slen[:Bs2])
+
+
+def _pow2ceil(x: int, lo: int) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
 
 
 def banded_align_finish(pend: dict):
@@ -381,7 +401,7 @@ def banded_align_finish(pend: dict):
     ops, nops, reached = ops[:B], nops[:B], reached[:B]
     W2 = W // 2 if mode == "diag" else 0
     se = (end_i - W2 if mode == "diag" else np.zeros_like(end_i)) + end_b
-    return {
+    out = {
         "score": score,
         "ok": ok & reached,
         "ops": ops,
@@ -389,6 +409,21 @@ def banded_align_finish(pend: dict):
         "qe": end_i,
         "se": np.where(free_end, se, pend["slen"][:B]),
     }
+    # dead trailing lanes were sliced off before the device readback;
+    # restore the caller's batch width (ok=False for them)
+    Bo = pend["B_orig"]
+    if Bo > B:
+        pad = Bo - B
+        out = {
+            "score": np.pad(out["score"], (0, pad)),
+            "ok": np.pad(out["ok"], (0, pad)),
+            "ops": np.pad(out["ops"], ((0, pad), (0, 0)),
+                          constant_values=255),
+            "nops": np.pad(out["nops"], (0, pad)),
+            "qe": np.pad(out["qe"], (0, pad)),
+            "se": np.pad(out["se"], (0, pad)),
+        }
+    return out
 
 
 def banded_align_batch(q, s, qlen, slen, W: int, mode: str,

@@ -131,18 +131,24 @@ def pair_matches_batch(
     q_stride: int = 10,
     max_occ: int = 8,
     M: int = 8192,
+    Qb: int | None = None,
+    Sb: int | None = None,
 ):
     """Device k-mer matching of many (query, subject) pairs.
 
-    Pads to one (Qb, Sb) bucket per call; returns host numpy
+    Pads to one (Qb, Sb) bucket per call (callers pass quantized dims to
+    bound the number of compiled shapes); returns host numpy
     (qoff (B, M) i32, soff (B, M) u32 local offsets, valid, total)."""
     import jax.numpy as jnp
 
-    # lane count padded to a pow2 ladder (every distinct B is a separate
-    # XLA executable; ragged tails must reuse the full-batch shape)
-    B = max(16, 1 << int(np.ceil(np.log2(max(len(pairs), 2)))))
-    Qb = _pad_pow2(max((len(q) for q, _ in pairs), default=1))
-    Sb = _pad_pow2(max((len(s) for _, s in pairs), default=1))
+    # lane count padded to a 2-value ladder (every distinct B is a
+    # separate XLA executable, and loading one through the device tunnel
+    # costs seconds; callers chunk at <= 64 pairs)
+    B = 16 if len(pairs) <= 16 else 64
+    if len(pairs) > 64:
+        B = 1 << int(np.ceil(np.log2(len(pairs))))
+    Qb = Qb or _pad_pow2(max((len(q) for q, _ in pairs), default=1))
+    Sb = Sb or _pad_pow2(max((len(s) for _, s in pairs), default=1))
     q = np.full((B, Qb), 4, np.uint8)
     s = np.full((B, Sb), 4, np.uint8)
     qlen = np.zeros(B, np.int32)

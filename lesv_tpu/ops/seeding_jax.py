@@ -222,12 +222,15 @@ def seed_matches_batch(
     index: KmerIndex,
     cfg: SeedingConfig | None = None,
     M: int = 8192,
+    Qmax: int | None = None,
 ):
     """Device seeding of a batch of reads, both strands.
 
     Returns (qoff (2R, M) i32, soff (2R, M) u32, valid (2R, M) bool,
     total (2R,) i32): lane 2*i is read i FWD, lane 2*i+1 is read i REV
     (strand-oriented qoff, the reference context convention).
+    ``Qmax``: callers pass quantized padded lengths to bound the number
+    of compiled shapes.
     """
     import jax.numpy as jnp
 
@@ -236,13 +239,16 @@ def seed_matches_batch(
     cfg = cfg or SeedingConfig()
     di = device_index_of(index)
     R = len(reads)
-    Qmax = max((len(r) for r in reads), default=1)
-    Qmax = max(64, 1 << int(np.ceil(np.log2(max(Qmax, 2)))))
-    # lane count padded to a pow2 ladder: every distinct B is a separate
-    # XLA executable (minutes per compile on a tunneled TPU), so ragged
-    # tail batches must reuse the full-batch shape
+    if Qmax is None:
+        Qmax = max((len(r) for r in reads), default=1)
+        Qmax = max(64, 1 << int(np.ceil(np.log2(max(Qmax, 2)))))
+    # lane count padded to a 2-value ladder: every distinct B is a
+    # separate XLA executable (seconds to load through the device
+    # tunnel); callers chunk at <= 64 reads
     B = 2 * R
-    B = max(16, 1 << int(np.ceil(np.log2(max(B, 2)))))
+    B = 16 if B <= 16 else 128
+    if 2 * R > 128:
+        B = 1 << int(np.ceil(np.log2(2 * R)))
     codes = np.full((B, Qmax), 4, np.uint8)
     qlen = np.zeros(B, np.int32)
     for i, r in enumerate(reads):

@@ -1,29 +1,33 @@
-"""Device-mesh data parallelism for the alignment engine.
+"""Device-mesh data parallelism for the mapping compute.
 
 The reference scales with `-grid node_id num_nodes` query-volume striding
 over a shared filesystem (`app/map/main.c:35-55`); the TPU-native design is
 pure data parallelism over read/segment batches on a
 ``jax.sharding.Mesh(('data',))``:
 
-* the k-mer index and the 2-bit reference are replicated per host;
-* alignment batches are sharded on the batch axis via `shard_map`;
-* per-shard SV-signature tallies are merged with `psum`/`all_gather`
-  (the reference's file-concatenation merge becomes one collective).
+* the k-mer index and the 2-bit reference are replicated per host
+  (in_specs ``P()``);
+* read/alignment batches are sharded on the batch axis via `shard_map`;
+* per-shard chain/alignment statistics merge with `psum` (the
+  cross-host SV-signature merge itself is host-side record exchange —
+  `lesv_tpu.parallel.dist.JaxExchange.allgather`).
 
-Tested on an 8-device virtual CPU mesh (tests/conftest.py) and compiled
-for N devices by `__graft_entry__.dryrun_multichip`.
+Two jitted sharded steps cover the device pipeline:
+`sharded_seed_chain_step` (windowed seeding -> seed sort -> chain DP,
+the front half of qx2map) and `sharded_align_step` (the banded
+dual-affine fill).  Both are tested on an 8-device virtual CPU mesh
+(tests/conftest.py) and compiled for N devices by
+`__graft_entry__.dryrun_multichip`.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from lesv_tpu.config import AlignConfig
+from lesv_tpu.config import AlignConfig, ChainConfig, SeedingConfig
 from lesv_tpu.ops.align_jax import banded_align_kernel
 
 
@@ -36,12 +40,11 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 def sharded_align_step(mesh: Mesh, W: int, mode: str,
                        cfg: AlignConfig | None = None):
-    """Build a jitted, mesh-sharded alignment step.
+    """Build a jitted, mesh-sharded alignment-fill step.
 
-    Input batch is sharded over the 'data' axis; outputs: per-lane scores /
-    end cells (sharded) plus a globally psum-merged histogram of indel-gap
-    signal (stand-in for the signature merge collective of the full
-    multi-host pipeline).
+    The batch is sharded over the 'data' axis; outputs: per-lane scores /
+    end cells (sharded) plus psum-merged totals (ok-lane count, score
+    sum) — the per-shard reduction the driver logs per batch.
     """
     cfg = cfg or AlignConfig()
     axis = mesh.axis_names[0]
@@ -49,8 +52,6 @@ def sharded_align_step(mesh: Mesh, W: int, mode: str,
     def step(q, s, qlen, slen):
         dirs, score, end_i, end_b, ok = banded_align_kernel(
             q, s, qlen, slen, W, mode, cfg, free_end=False)
-        # signature-merge stand-in: count aligned lanes + total score
-        # across the whole mesh (psum over the data axis)
         n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), axis)
         total_score = jax.lax.psum(
             jnp.sum(jnp.where(ok, score, 0)), axis)
@@ -67,7 +68,52 @@ def sharded_align_step(mesh: Mesh, W: int, mode: str,
     return jax.jit(sharded)
 
 
-def gather_signatures(mesh: Mesh, local_counts: np.ndarray) -> np.ndarray:
-    """All-gather per-shard signature counts (host helper used by the
-    multi-host driver; on one host this is a no-op concat)."""
-    return local_counts
+def sharded_seed_chain_step(mesh: Mesh, k: int, window: int,
+                            M: int = 512, J: int = 64,
+                            seeding: SeedingConfig | None = None,
+                            chain: ChainConfig | None = None):
+    """Build a jitted, mesh-sharded seeding + chain-DP step — the device
+    front half of the mapper (ops.seeding_jax + ops.chain_jax) with real
+    shardings: reads sharded on the batch axis, the k-mer index
+    replicated (``P()``), per-shard best-chain stats psum-merged.
+
+    Returns step(codes, qlen, hash_hi, hash_lo, start, positions) ->
+    (f (B, M) sharded, best (B,) sharded, n_chained (), score_sum ()).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from lesv_tpu.ops.chain_jax import _chain_scan_kernel, sort_seeds_device
+    from lesv_tpu.ops.seeding_jax import (
+        _seed_match_kernel,
+        sampled_offsets_static,
+    )
+
+    seeding = seeding or SeedingConfig()
+    chain = chain or ChainConfig()
+    axis = mesh.axis_names[0]
+
+    def step(codes, qlen, hash_hi, hash_lo, start, positions):
+        offs = jnp.asarray(sampled_offsets_static(
+            codes.shape[1], k, window, seeding))
+        qoff, soff, valid, total = _seed_match_kernel(
+            codes, qlen, offs, hash_hi, hash_lo, start, positions,
+            k=k, max_occ=seeding.max_query_kmer_occ, M=M,
+            n_index=hash_hi.shape[0])
+        qs, ss, vs = sort_seeds_device(qoff, soff, valid)
+        f, p_rel, v = _chain_scan_kernel(
+            qs, ss, vs, J=J, length=k, max_dq=chain.max_dist_qry,
+            max_dr=chain.max_dist_ref, bw=chain.max_band_width)
+        best = jnp.max(jnp.where(vs, f, 0), axis=1)
+        n_chained = jax.lax.psum(
+            jnp.sum((best >= chain.min_chain_score).astype(jnp.int32)),
+            axis)
+        score_sum = jax.lax.psum(jnp.sum(best), axis)
+        return f, best, n_chained, score_sum
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

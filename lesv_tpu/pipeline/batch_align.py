@@ -53,39 +53,62 @@ def batch_pair_chains(
         return [pair_chains(q, s, k=k, cfg=cfg.chain) for q, s in pairs]
 
     from lesv_tpu.ops.chain_jax import chain_lanes
-    from lesv_tpu.ops.pairseed_jax import _pad_pow2, pair_matches_batch
+    from lesv_tpu.ops.pairseed_jax import pair_matches_batch
     from lesv_tpu.utils import profiling
+
+    import jax
 
     import jax.numpy as jnp
 
     pcfg = _pair_chain_cfg(cfg)
     out: list[list[Chain]] = [[] for _ in pairs]
+    # coarse shape quantization on TPU (every (B, Qb, Sb) is a separate
+    # executable; loading one through the tunnel costs seconds)
+    q2 = (_quant_dim if jax.default_backend() != "cpu"
+          else _pad_pow2_dim)
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, (q, s) in enumerate(pairs):
         if len(q) < k or len(s) < k:
             continue
-        buckets.setdefault(
-            (_pad_pow2(len(q)), _pad_pow2(len(s))), []).append(i)
+        buckets.setdefault((q2(len(q)), q2(len(s))), []).append(i)
     M = cfg.map.pair_match_budget
-    for _, idxs in sorted(buckets.items()):
-        chunk = [pairs[i] for i in idxs]
-        with profiling.trace("pairseed_device"):
-            qoff, soff, valid, total = pair_matches_batch(chunk, k=k, M=M)
-        # valid slots are a prefix (the expansion fills 0..total-1), so
-        # the chain DP only needs pow2(max total) slots — usually far
-        # fewer scan steps than the full budget
-        Mp = _shrink_M(total, M)
-        with profiling.trace("pairchain_device"):
-            lanes = chain_lanes(jnp.asarray(qoff[:, :Mp]),
-                                jnp.asarray(soff[:, :Mp]),
-                                jnp.asarray(valid[:, :Mp]), k, pcfg,
-                                J=cfg.chain.lookback)
-        for j, i in enumerate(idxs):
-            if total[j] > M:
-                out[i] = pair_chains(*pairs[i], k=k, cfg=cfg.chain)
-            else:
-                out[i] = lanes[j]
+    for (Qb, Sb), idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), 64):
+            cidx = idxs[start : start + 64]
+            chunk = [pairs[i] for i in cidx]
+            with profiling.trace("pairseed_device"):
+                qoff, soff, valid, total = pair_matches_batch(
+                    chunk, k=k, M=M, Qb=Qb, Sb=Sb)
+            # valid slots are a prefix (the expansion fills 0..total-1):
+            # the chain DP only needs pow2(max total) slots — usually
+            # far fewer scan steps than the full budget
+            Mp = _shrink_M(total, M)
+            with profiling.trace("pairchain_device"):
+                lanes = chain_lanes(jnp.asarray(qoff[:, :Mp]),
+                                    jnp.asarray(soff[:, :Mp]),
+                                    jnp.asarray(valid[:, :Mp]), k, pcfg,
+                                    J=cfg.chain.lookback)
+            for j, i in enumerate(cidx):
+                if total[j] > M:
+                    out[i] = pair_chains(*pairs[i], k=k, cfg=cfg.chain)
+                else:
+                    out[i] = lanes[j]
     return out
+
+
+def _pad_pow2_dim(n: int, lo: int = 256) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def _quant_dim(n: int, lo: int = 256, hi: int = 1 << 18) -> int:
+    """x4 dimension steps: 256, 1k, 4k, 16k, 64k, 256k."""
+    p = lo
+    while p < n:
+        p *= 4
+    return min(p, hi)
 
 
 def chain_and_align_many(

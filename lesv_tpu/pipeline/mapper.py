@@ -25,7 +25,6 @@ from lesv_tpu.io.seqstore import SeqStore
 from lesv_tpu.ops.anchored import anchored_extend
 from lesv_tpu.ops.chain import Chain, extract_chains_np
 from lesv_tpu.ops.cigar import effective_ident_perc, ident_perc, match_mask
-from lesv_tpu.ops.pairseed import pair_chains
 from lesv_tpu.ops.seeding import collect_seed_matches
 
 FWD, REV = 0, 1
@@ -150,35 +149,43 @@ def _chains_by_read_device(
     from lesv_tpu.ops.seeding_jax import seed_matches_batch
     from lesv_tpu.utils import profiling
 
+    import jax
+
+    from lesv_tpu.pipeline.batch_align import (
+        _pad_pow2_dim,
+        _quant_dim,
+        _shrink_M,
+    )
+
     out: list[dict[int, list[Chain]]] = [
         {FWD: [], REV: []} for _ in batch]
-    # bucket reads by pow2 length to bound hash-compute padding
+    # bucket reads by quantized length (coarse x4 steps on TPU — every
+    # distinct shape is a separately loaded executable)
+    q2 = (_quant_dim if jax.default_backend() != "cpu"
+          else _pad_pow2_dim)
     buckets: dict[int, list[int]] = {}
     for i, (_, read) in enumerate(batch):
-        b = 256
-        while b < len(read):
-            b *= 2
-        buckets.setdefault(b, []).append(i)
+        buckets.setdefault(q2(len(read)), []).append(i)
     M = cfg.map.seed_match_budget
-    for _, idxs in sorted(buckets.items()):
-        reads = [batch[i][1] for i in idxs]
-        with profiling.trace("map/seed_device"):
-            qoff, soff, valid, total = seed_matches_batch(
-                reads, index, cfg.seeding, M=M)
-        total = np.asarray(total)
-        from lesv_tpu.pipeline.batch_align import _shrink_M
-
-        Mp = _shrink_M(total, M)
-        with profiling.trace("map/chain_device"):
-            lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
-                                valid[:, :Mp], index.k, cfg.chain,
-                                J=cfg.chain.lookback)
-        for j, i in enumerate(idxs):
-            if total[2 * j] > M or total[2 * j + 1] > M:
-                # budget overflow (repeat-dense read): host oracle
-                out[i] = _chains_by_read_host(batch[i][1], index, cfg)
-            else:
-                out[i] = {FWD: lanes[2 * j], REV: lanes[2 * j + 1]}
+    for Qmax, idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), 64):
+            cidx = idxs[start : start + 64]
+            reads = [batch[i][1] for i in cidx]
+            with profiling.trace("map/seed_device"):
+                qoff, soff, valid, total = seed_matches_batch(
+                    reads, index, cfg.seeding, M=M, Qmax=Qmax)
+            total = np.asarray(total)
+            Mp = _shrink_M(total, M)
+            with profiling.trace("map/chain_device"):
+                lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
+                                    valid[:, :Mp], index.k, cfg.chain,
+                                    J=cfg.chain.lookback)
+            for j, i in enumerate(cidx):
+                if total[2 * j] > M or total[2 * j + 1] > M:
+                    # budget overflow (repeat-dense read): host oracle
+                    out[i] = _chains_by_read_host(batch[i][1], index, cfg)
+                else:
+                    out[i] = {FWD: lanes[2 * j], REV: lanes[2 * j + 1]}
     return out
 
 

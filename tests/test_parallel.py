@@ -76,3 +76,11 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_seed_chain_step():
+    """The mesh-sharded seeding + chain-DP step (replicated index, reads
+    sharded) chains every phase-aligned exact read on an 8-device mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -84,7 +84,13 @@ def oriented_query(store: SeqStore, qid: int, qdir: int,
 
 def _eff_ident_of_m4(m4: M4, qstore: SeqStore, sstore: SeqStore,
                      cfg: LesvConfig) -> tuple[float, int] | None:
-    """Effective identity (and dist) of an M4, realigning if ops missing."""
+    """Effective identity (and dist) of an M4, realigning if ops missing.
+
+    The in-memory / npz-checkpoint path carries the alignment ops, so no
+    realignment happens; M4s parsed from the 12-column text format carry
+    no ops and are realigned — which is exactly what the reference does
+    with its text M4 round-trip (`align_and_refine_subseq_with_ksw`,
+    app/necat2sv/align_subseqs.c:193)."""
     if m4.ops is not None:
         q = oriented_query(qstore, m4.qid, m4.qdir, m4.qoff, m4.qend)
         s = sstore.get(m4.sid, m4.soff, m4.send)

@@ -31,6 +31,50 @@ def random_genome(rng: np.random.Generator, length: int) -> np.ndarray:
     return rng.integers(0, 4, length).astype(np.uint8)
 
 
+def repeat_genome(
+    rng: np.random.Generator,
+    length: int,
+    n_tandem: int = 6,
+    unit_range: tuple[int, int] = (5, 200),
+    array_range: tuple[int, int] = (500, 3_000),
+    n_dups: int = 3,
+    dup_range: tuple[int, int] = (2_000, 8_000),
+    n_runs: int = 2,
+    n_run_len: int = 300,
+) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """A repeat-rich genome: random background + tandem-repeat arrays +
+    segmental duplications + N runs (code 4).
+
+    The reference's occupancy caps / repeat-M4 removal / TRF masking
+    exist for genomes like this (`trf_array.cpp:75-89`,
+    `remove_repeat_m4s`).  Returns (genome, trf_intervals) where
+    trf_intervals are the planted tandem arrays (a ready-made TRF bed).
+    """
+    g = random_genome(rng, length)
+    trf: list[tuple[int, int]] = []
+    for _ in range(n_tandem):
+        unit_len = int(rng.integers(*unit_range))
+        arr_len = int(rng.integers(*array_range))
+        pos = int(rng.integers(0, length - arr_len))
+        unit = rng.integers(0, 4, unit_len).astype(np.uint8)
+        reps = -(-arr_len // unit_len)
+        arr = np.tile(unit, reps)[:arr_len]
+        # ~1% divergence between copies (real tandem arrays drift)
+        mut = rng.random(arr_len) < 0.01
+        arr[mut] = (arr[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        g[pos : pos + arr_len] = arr
+        trf.append((pos, pos + arr_len))
+    for _ in range(n_dups):
+        dl = int(rng.integers(*dup_range))
+        src = int(rng.integers(0, length - dl))
+        dst = int(rng.integers(0, length - dl))
+        g[dst : dst + dl] = g[src : src + dl]
+    for _ in range(n_runs):
+        pos = int(rng.integers(0, length - n_run_len))
+        g[pos : pos + n_run_len] = 4          # ambiguous (N)
+    return g, sorted(trf)
+
+
 def plant_svs(
     rng: np.random.Generator,
     ref: np.ndarray,

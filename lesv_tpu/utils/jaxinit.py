@@ -29,6 +29,9 @@ def setup_jax(cache_dir: str | None = None) -> None:
         cache_dir = os.path.join(cache_dir, jax.default_backend())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 2s threshold: skip persisting trivial executables (slices,
+        # tiny fills) — fewer cache writes, fewer windows for jaxlib's
+        # flaky cache-serialization path (see verify skill notes)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass

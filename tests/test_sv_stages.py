@@ -126,3 +126,52 @@ def test_trf_mask_excludes(svworld):
     svrs = select_sv_reads(m4s, qstore, store, cfg, trf=trf)
     sigs = extract_signatures(svrs, qstore, store, cfg, trf=trf)
     assert sigs == []
+
+
+def test_repeat_rich_genome_pipeline():
+    """Occ-caps, repeat-M4 removal, TRF masking and N handling on a
+    repeat-rich genome (tandem arrays + segmental duplications + N runs,
+    the genomes `trf_array.cpp:75-89` / `remove_repeat_m4s` exist for):
+    planted SVs outside the repeats are still called; TRF-masked regions
+    emit no signatures."""
+    from lesv_tpu.sim import repeat_genome, simulate_reads
+
+    rng = np.random.default_rng(23)
+    genome, trf_ivs = repeat_genome(rng, 150_000, n_tandem=4, n_dups=2,
+                                    n_runs=1)
+
+    def in_repeat(p, margin=4_000):
+        return any(a - margin < p < b + margin for a, b in trf_ivs) \
+            or (genome[max(0, p - margin): p + margin] >= 4).any()
+
+    # plant one DEL + one INS in clean regions, well separated
+    sites = []
+    while len(sites) < 2:
+        p = int(rng.integers(20_000, 130_000))
+        if not in_repeat(p) and all(abs(p - q) > 30_000 for q in sites):
+            sites.append(p)
+    sites.sort()
+    del_pos, ins_pos = sites
+    del_len, ins_len = 300, 250
+    ins_seq = rng.integers(0, 4, ins_len).astype(np.uint8)
+    donor = np.concatenate([
+        genome[:del_pos], genome[del_pos + del_len : ins_pos], ins_seq,
+        genome[ins_pos:]])
+    reads = simulate_reads(rng, donor, coverage=10, mean_len=9_000,
+                           min_len=4_000, err=0.08)
+    # sequencers call random bases over N stretches
+    reads = [(n, np.where(r >= 4, rng.integers(0, 4, len(r)), r)
+              .astype(np.uint8)) for n, r in reads]
+
+    from lesv_tpu.pipeline.driver import run_pipeline
+
+    cfg = LesvConfig()
+    res = run_pipeline([("chr1", genome)], reads, cfg,
+                       trf_intervals={0: trf_ivs})
+    by = {(c.kind): c for c in res.calls
+          if c.kind == "DEL" and abs(c.pos - del_pos) < 1000
+          or c.kind == "INS" and abs(c.pos - (ins_pos - del_len)) < 1000}
+    assert "DEL" in by, f"planted DEL missed: {res.calls}"
+    assert "INS" in by, f"planted INS missed: {res.calls}"
+    assert abs(by["DEL"].length - del_len) < 0.3 * del_len
+    assert abs(by["INS"].length - ins_len) < 0.3 * ins_len

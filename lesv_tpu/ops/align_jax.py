@@ -371,6 +371,12 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
         Bs2 = min(Bs, dirs.shape[0])
         dirs = dirs[:Bs2, : min(Rq, dirs.shape[1]), :]
     score, end_i, end_b, ok = (x[:Bs2] for x in (score, end_i, end_b, ok))
+    # start the device->host copies now: they overlap the dispatch work
+    # of later chunks (banded_align_finish's np.asarray then finds the
+    # data already on the host)
+    for x in (dirs, score, end_i, end_b, ok):
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
     return dict(dirs=dirs, score=score, end_i=end_i, end_b=end_b, ok=ok,
                 layout=layout, B=min(n_live, Bs2), B_orig=B, W=W,
                 mode=mode, free_end=free_end, slen=slen[:Bs2])

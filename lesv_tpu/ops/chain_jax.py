@@ -146,6 +146,9 @@ def chain_batch_device(qoff, soff, valid, length: int,
                 qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
                 max_dr=cfg.max_dist_ref, bw=cfg.max_band_width)
     with profiling.trace("chain/fetch"):
+        for x in (f, p_rel, v, qs, ss, vs):
+            if hasattr(x, "copy_to_host_async"):
+                x.copy_to_host_async()
         f = np.asarray(f)
         p_rel = np.asarray(p_rel)
         v = np.asarray(v)

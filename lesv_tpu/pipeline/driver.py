@@ -104,7 +104,10 @@ def run_pipeline(
     qstore = SeqStore.from_records(reads)
 
     def _map():
-        m4s, _ = map_all(reads, sstore, index, cfg)
+        # per-batch checkpoints: a crash mid-map resumes after the last
+        # completed batch (reference per-volume merge, app/map/main.c:43-58)
+        parts = os.path.join(ckpt, "map_parts") if ckpt else None
+        m4s, _ = map_all(reads, sstore, index, cfg, ckpt_dir=parts)
         return m4s
 
     m4s = stage("map", _map, sio.save_m4s, sio.load_m4s)

@@ -287,14 +287,37 @@ def map_all(
     store: SeqStore,
     index: KmerIndex,
     cfg: LesvConfig | None = None,
+    ckpt_dir: str | None = None,
 ) -> tuple[list[M4], SeqStore]:
-    """Map a list of reads; returns (all M4 records, the query store)."""
+    """Map a list of reads; returns (all M4 records, the query store).
+
+    With ``ckpt_dir``, each read batch's M4s are checkpointed and a
+    restarted run resumes after the last completed batch — the
+    reference's per-(qvol, svol) `.mapped` merge-on-resume
+    (`app/map/main.c:43-58`)."""
+    import os
+
     cfg = cfg or LesvConfig()
     qstore = SeqStore.from_records(reads)
     out: list[M4] = []
     B = cfg.map.batch_reads
-    for start in range(0, qstore.num_seqs, B):
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+    for bi, start in enumerate(range(0, qstore.num_seqs, B)):
+        part = (os.path.join(ckpt_dir, f"map_part_{bi:05d}.npz")
+                if ckpt_dir else None)
+        if part and os.path.exists(part):
+            from lesv_tpu.pipeline import stages_io as sio
+
+            out.extend(sio.load_m4s(part))
+            continue
         batch = [(qid, qstore.get(qid))
                  for qid in range(start, min(start + B, qstore.num_seqs))]
-        out.extend(map_batch(batch, store, index, cfg))
+        m4s = map_batch(batch, store, index, cfg)
+        if part:
+            from lesv_tpu.pipeline import stages_io as sio
+
+            sio.save_m4s(part + ".tmp.npz", m4s)
+            os.replace(part + ".tmp.npz", part)
+        out.extend(m4s)
     return out, qstore

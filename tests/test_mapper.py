@@ -7,7 +7,7 @@ from lesv_tpu.config import LesvConfig
 from lesv_tpu.index.kmer_index import KmerIndex
 from lesv_tpu.io.fasta import revcomp
 from lesv_tpu.io.seqstore import SeqStore
-from lesv_tpu.pipeline.mapper import map_read
+from lesv_tpu.pipeline.mapper import map_all, map_read
 from lesv_tpu.sim import mutate_read, plant_svs, random_genome
 
 
@@ -67,3 +67,32 @@ def test_map_unmappable_read(world):
     junk = rng.integers(0, 4, 5_000).astype(np.uint8)
     m4s = map_read(0, junk, store, idx, cfg)
     assert m4s == []
+
+
+def test_map_all_batch_checkpoints(tmp_path):
+    """map_all with ckpt_dir resumes after completed batches (the
+    reference's per-(qvol,svol) merge-on-resume, app/map/main.c:43-58)."""
+    import dataclasses
+    import os
+
+    rng = np.random.default_rng(9)
+    genome = random_genome(rng, 50_000)
+    store = SeqStore.from_records([("chr1", genome)])
+    cfg = LesvConfig()
+    cfg.map.engine = "host"
+    cfg.map.batch_reads = 2
+    index = KmerIndex.build(store, cfg.index)
+    reads = []
+    for i in range(6):
+        start = int(rng.integers(0, 40_000))
+        frag = genome[start : start + int(rng.integers(3000, 8000))]
+        reads.append((f"r{i}", mutate_read(rng, frag, err=0.05)))
+    ck = str(tmp_path / "parts")
+    m4s1, _ = map_all(reads, store, index, cfg, ckpt_dir=ck)
+    parts = sorted(os.listdir(ck))
+    assert len(parts) == 3
+    # drop the last part: resume recomputes only that batch
+    os.remove(os.path.join(ck, parts[-1]))
+    m4s2, _ = map_all(reads, store, index, cfg, ckpt_dir=ck)
+    key = lambda m: (m.qid, m.qdir, m.qoff, m.qend, m.soff, m.send, m.score)
+    assert sorted(map(key, m4s1)) == sorted(map(key, m4s2))

@@ -170,6 +170,11 @@ class CallConfig:
     max_ins_length: int = 30_000  # pbsv call --max-ins-length 30k
     min_support: int = 3          # pbsv call -A/-O default
     min_support_frac: float = 0.2  # support must be >= this x local depth
+    # genotype 1/1 when support >= this x raw local depth; support
+    # systematically undercounts (flank + consensus filters drop ~25-40%
+    # of true-allele reads), so the hom/het boundary sits well below the
+    # naive 0.75 allele fraction
+    hom_genotype_frac: float = 0.55
     cluster_dist: int = 1_000
     cluster_len_ratio: float = 0.25
     min_sv_len: int = 30          # emitted SVs must be >= this (pbsv default)

@@ -106,11 +106,35 @@ def shard_strided(n: int, host_id: int, n_hosts: int) -> list[int]:
     return list(range(host_id, n, n_hosts))
 
 
+def _pack_codes(codes: np.ndarray):
+    """2-bit pack for the DCN exchange (4x smaller than raw codes);
+    ambiguous positions (code >= 4) are carried as an index list."""
+    amb = np.flatnonzero(codes >= 4).astype(np.int64)
+    c = np.where(codes >= 4, 0, codes).astype(np.uint8)
+    pad = (-len(c)) % 4
+    if pad:
+        c = np.pad(c, (0, pad))
+    packed = (c[0::4] << 6) | (c[1::4] << 4) | (c[2::4] << 2) | c[3::4]
+    return packed, len(codes), amb
+
+
+def _unpack_codes(packed: np.ndarray, n: int, amb: np.ndarray) -> np.ndarray:
+    out = np.empty((len(packed), 4), np.uint8)
+    out[:, 0] = (packed >> 6) & 3
+    out[:, 1] = (packed >> 4) & 3
+    out[:, 2] = (packed >> 2) & 3
+    out[:, 3] = packed & 3
+    codes = out.reshape(-1)[:n].copy()
+    codes[amb] = 4
+    return codes
+
+
 @dataclass
 class _ShardPayload:
     sv_reads: list
     signatures: list
-    read_seqs: dict      # global (host, local) read id -> (name, codes)
+    read_seqs: dict      # global (host, local) read id -> (name, packed)
+    raw_spans: list      # (sid, soff, send) best-M4 span per mapped read
 
 
 def distributed_call(
@@ -141,12 +165,19 @@ def distributed_call(
     # exchange: signatures + the (few) SV reads they reference, with
     # globally unique read keys "host:local"
     used_qids = sorted({s.qid for s in sigs})
+    best_span: dict[int, tuple[int, int, int, int]] = {}
+    for m in m4s:
+        cur = best_span.get(m.qid)
+        if cur is None or m.score > cur[0]:
+            best_span[m.qid] = (m.score, m.sid, m.soff, m.send)
     payload = _ShardPayload(
         sv_reads=[(f"{ex.host_id}:{r.query_id}", r) for r in svrs],
         signatures=[(f"{ex.host_id}:{s.qid}", s) for s in sigs],
         read_seqs={f"{ex.host_id}:{qid}":
-                   (qstore.name_of(qid), qstore.get(qid))
+                   (qstore.name_of(qid), *_pack_codes(qstore.get(qid)))
                    for qid in used_qids},
+        raw_spans=[(sid, so, se)
+                   for _, sid, so, se in best_span.values()],
     )
     gathered = ex.allgather(pickle.dumps(payload))
     payloads = [pickle.loads(b) for b in gathered]
@@ -159,7 +190,7 @@ def distributed_call(
                                            int(k.split(":")[1])))
     key_to_gid = {k: i for i, k in enumerate(keys)}
     merged_store = SeqStore.from_records(
-        [(all_seqs[k][0], all_seqs[k][1]) for k in keys])
+        [(all_seqs[k][0], _unpack_codes(*all_seqs[k][1:])) for k in keys])
 
     merged_sigs = []
     for p in payloads:
@@ -182,7 +213,8 @@ def distributed_call(
     for b in gathered:
         all_remapped.extend(pickle.loads(b))
     all_remapped.sort(key=lambda r: (r.subject_id, r.pos, r.name))
-    return call_svs(all_remapped, sstore, cfg)
+    all_spans = [t for p in payloads for t in p.raw_spans]
+    return call_svs(all_remapped, sstore, cfg, raw_spans=all_spans)
 
 
 class SimExchange(Exchange):

@@ -51,6 +51,13 @@ def discover_events(
     return out
 
 
+def _group_by(items, key):
+    out: dict = {}
+    for it in items:
+        out.setdefault(key(it), []).append(it)
+    return out
+
+
 def _cluster(events: list[CallEvent], cfg: LesvConfig) -> list[list[CallEvent]]:
     """Greedy single-linkage by position; split by length dissimilarity."""
     ccfg = cfg.call
@@ -76,18 +83,28 @@ def call_svs(
     results: list[RemapResult],
     sstore: SeqStore,
     cfg: LesvConfig | None = None,
+    raw_spans: list[tuple[int, int, int]] | None = None,
 ) -> list[VcfCall]:
+    """``raw_spans``: (sid, soff, send) alignment spans of ALL mapped
+    raw reads (one per read).  With them, depth at a site is true local
+    read depth and heterozygous events genotype 0/1; without them the
+    remapped consensus reads stand in (they cover only SV groups, so
+    every call looks homozygous — the information pbsv gets from the
+    reference's SV-read-only SAM, `x_hqx2callsv.sh:58-122`)."""
     cfg = cfg or LesvConfig()
     events = discover_events(results, cfg)
     # depth(pos) = #reads overlapping = #(starts <= pos) - #(ends <= pos)
+    spans = (raw_spans if raw_spans is not None
+             else [(r.subject_id, r.pos, r.end) for r in results])
     starts: dict[int, np.ndarray] = {}
     ends: dict[int, np.ndarray] = {}
-    for sid in {r.subject_id for r in results}:
-        rs = [r for r in results if r.subject_id == sid]
-        starts[sid] = np.sort(np.array([r.pos for r in rs]))
-        ends[sid] = np.sort(np.array([r.end for r in rs]))
+    for sid, grp in _group_by(spans, key=lambda t: t[0]).items():
+        starts[sid] = np.sort(np.array([t[1] for t in grp]))
+        ends[sid] = np.sort(np.array([t[2] for t in grp]))
 
     def depth_at(sid: int, pos: int) -> int:
+        if sid not in starts:
+            return 0
         return int(np.searchsorted(starts[sid], pos, "right")
                    - np.searchsorted(ends[sid], pos, "right"))
 
@@ -112,7 +129,9 @@ def call_svs(
             depth = depth_at(sid, pos)
             if support < cfg.call.min_support_frac * depth:
                 continue
-            gt = "1/1" if support >= 0.75 * max(depth, 1) else "0/1"
+            gt = ("1/1" if support
+                  >= cfg.call.hom_genotype_frac * max(depth, 1)
+                  else "0/1")
             ssize = sstore.seq_size(sid)
             p = max(1, min(pos, ssize - 2))
             anchor = decode_seq(sstore.get(sid, p - 1, p))

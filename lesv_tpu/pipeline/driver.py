@@ -138,7 +138,15 @@ def run_pipeline(
     stats["remapped"] = len(remapped)
 
     with timed("call"):
-        calls = call_svs(remapped, sstore, cfg)
+        # true local depth: one span per mapped read (best M4)
+        best_span: dict[int, tuple[int, int, int, int]] = {}
+        for m in m4s:
+            cur = best_span.get(m.qid)
+            if cur is None or m.score > cur[0]:
+                best_span[m.qid] = (m.score, m.sid, m.soff, m.send)
+        raw_spans = [(sid, so, se)
+                     for _, sid, so, se in best_span.values()]
+        calls = call_svs(remapped, sstore, cfg, raw_spans=raw_spans)
     stats["calls"] = len(calls)
 
     if out_dir:

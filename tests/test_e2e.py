@@ -79,3 +79,58 @@ def test_vcf_emission(e2e, tmp_path):
         p = int(pos) - 1
         from lesv_tpu.io.fasta import decode_seq
         assert decode_seq(genome[p : p + len(ref)]) == ref
+
+
+def test_heterozygous_svs():
+    """Het SVs: reads drawn 50/50 from the SV haplotype and the
+    reference haplotype.  The events must still be called (about half
+    the coverage supports them) and genotyped 0/1, while a homozygous
+    control event on both haplotypes genotypes 1/1."""
+    rng = np.random.default_rng(77)
+    genome = random_genome(rng, 150_000)
+    het_del_pos, het_ins_pos, hom_del_pos = 35_000, 75_000, 115_000
+    het_del_len, het_ins_len, hom_del_len = 300, 260, 280
+    ins_seq = rng.integers(0, 4, het_ins_len).astype(np.uint8)
+
+    def apply_svs(g, dels, ins):
+        pieces = []
+        prev = 0
+        events = sorted([(p, "DEL", L) for p, L in dels]
+                        + [(p, "INS", L) for p, L in ins])
+        for p, kind, L in events:
+            pieces.append(g[prev:p])
+            if kind == "DEL":
+                prev = p + L
+            else:
+                pieces.append(ins_seq)
+                prev = p
+        pieces.append(g[prev:])
+        return np.concatenate(pieces)
+
+    hap_sv = apply_svs(genome,
+                       [(het_del_pos, het_del_len),
+                        (hom_del_pos, hom_del_len)],
+                       [(het_ins_pos, het_ins_len)])
+    hap_ref = apply_svs(genome, [(hom_del_pos, hom_del_len)], [])
+    reads = (simulate_reads(rng, hap_sv, coverage=9, mean_len=10_000,
+                            min_len=4_000, err=0.08)
+             + simulate_reads(rng, hap_ref, coverage=9, mean_len=10_000,
+                              min_len=4_000, err=0.08))
+    cfg = LesvConfig()
+    cfg.cns.min_size = 1_000
+    res = run_pipeline([("chr1", genome)], reads, cfg)
+
+    def call_at(kind, pos, length):
+        near = [c for c in res.calls
+                if c.kind == kind and abs(c.pos - pos) <= 1_000
+                and abs(c.length - length) <= 0.25 * length]
+        assert near, (kind, pos, [(c.kind, c.pos, c.length)
+                                  for c in res.calls])
+        return min(near, key=lambda c: abs(c.pos - pos))
+
+    het_del = call_at("DEL", het_del_pos, het_del_len)
+    het_ins = call_at("INS", het_ins_pos, het_ins_len)
+    hom_del = call_at("DEL", hom_del_pos, hom_del_len)
+    assert het_del.genotype == "0/1", het_del
+    assert het_ins.genotype == "0/1", het_ins
+    assert hom_del.genotype == "1/1", hom_del

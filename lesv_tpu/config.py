@@ -36,6 +36,12 @@ class SeedingConfig:
 
     seeding_seq_size: int = 300    # kSeedingSeqSize: seeded window length
     seeding_seq_stride: int = 200  # kSeedingSeqStride: gap between windows
+    # query k-mers are sampled at stride 1 within each window — the
+    # reference HARDCODES window=1 for the word finder
+    # (`hbn_align_one_volume.c:125-130`); -kmer_window only sparsifies
+    # the subject index.  Stride-1 query sampling is what defeats the
+    # index's phase grid for indel-free stretches.
+    query_stride: int = 1
     max_query_kmer_occ: int = 200  # skip query kmers hitting > this many subject pos
 
 
@@ -100,7 +106,9 @@ class MapConfig:
     engine: str = "device"
     # per-lane match-slot budgets for the device expansion; lanes whose
     # true match count exceeds the budget fall back to the host oracle
-    seed_match_budget: int = 8192
+    # (stride-1 query sampling: a 50kb read at ONT error rates yields
+    # ~5k matches; near-perfect reads can overflow and fall back)
+    seed_match_budget: int = 16384
     pair_match_budget: int = 8192
 
 

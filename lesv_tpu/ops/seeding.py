@@ -26,6 +26,10 @@ def sampled_offsets(length: int, k: int, window: int,
     Pattern (reference `collect_ddfkmer_subseq`, `hbn_word_finder.c:185-216`):
     windows of SL=300 every SL+SR=500 bases; within window [s, min(s+300, n)),
     k-mers at s + i*window while s + i*window + k <= window end.
+
+    ``window`` is the QUERY stride — the reference hardcodes it to 1
+    (`hbn_align_one_volume.c:125-130`); only the subject index is
+    sparsified by -kmer_window.
     """
     cfg = cfg or SeedingConfig()
     SL, SR = cfg.seeding_seq_size, cfg.seeding_seq_stride
@@ -60,7 +64,7 @@ def collect_seed_matches(
     out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for d in (0, 1):
         q = codes if d == 0 else revcomp(codes)
-        offs = sampled_offsets(len(q), index.k, index.window, cfg)
+        offs = sampled_offsets(len(q), index.k, cfg.query_stride, cfg)
         if len(offs) == 0:
             out[d] = (np.empty(0, np.int64), np.empty(0, np.int64))
             continue

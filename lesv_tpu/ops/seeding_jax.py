@@ -255,7 +255,7 @@ def seed_matches_batch(
         codes[2 * i, : len(r)] = r
         codes[2 * i + 1, : len(r)] = revcomp(r)
         qlen[2 * i] = qlen[2 * i + 1] = len(r)
-    offs = sampled_offsets_static(Qmax, di.k, di.window, cfg)
+    offs = sampled_offsets_static(Qmax, di.k, cfg.query_stride, cfg)
     qoff, soff, valid, total = _seed_match_kernel(
         jnp.asarray(codes), jnp.asarray(qlen), jnp.asarray(offs),
         di.hash_hi, di.hash_lo, di.start, di.positions,

@@ -68,8 +68,8 @@ def sharded_align_step(mesh: Mesh, W: int, mode: str,
     return jax.jit(sharded)
 
 
-def sharded_seed_chain_step(mesh: Mesh, k: int, window: int,
-                            M: int = 512, J: int = 64,
+def sharded_seed_chain_step(mesh: Mesh, k: int,
+                            M: int = 2048, J: int = 64,
                             seeding: SeedingConfig | None = None,
                             chain: ChainConfig | None = None):
     """Build a jitted, mesh-sharded seeding + chain-DP step — the device
@@ -94,7 +94,7 @@ def sharded_seed_chain_step(mesh: Mesh, k: int, window: int,
 
     def step(codes, qlen, hash_hi, hash_lo, start, positions):
         offs = jnp.asarray(sampled_offsets_static(
-            codes.shape[1], k, window, seeding))
+            codes.shape[1], k, seeding.query_stride, seeding))
         qoff, soff, valid, total = _seed_match_kernel(
             codes, qlen, offs, hash_hi, hash_lo, start, positions,
             k=k, max_occ=seeding.max_query_kmer_occ, M=M,

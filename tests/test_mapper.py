@@ -96,3 +96,33 @@ def test_map_all_batch_checkpoints(tmp_path):
     m4s2, _ = map_all(reads, store, index, cfg, ckpt_dir=ck)
     key = lambda m: (m.qid, m.qdir, m.qoff, m.qend, m.soff, m.send, m.score)
     assert sorted(map(key, m4s1)) == sorted(map(key, m4s2))
+
+
+def test_ultra_long_read_split_and_map():
+    """A 120kb read splits into <=50kb subreads (name_from_to) that each
+    map back to their own genome segment — the reference's ultra-long
+    handling (MAX_SUBSEQ_SIZE, app/split_seq/main.c:28-45) feeding the
+    k=19/w=20 preset (README.md:149-172)."""
+    from lesv_tpu.io.seqstore import split_subreads
+
+    rng = np.random.default_rng(5)
+    genome = random_genome(rng, 200_000)
+    cfg = LesvConfig.ultra_long()
+    store = SeqStore.from_records([("chr1", genome)])
+    index = KmerIndex.build(store, cfg.index)
+    frag = genome[30_000:150_000]
+    read = mutate_read(rng, frag, err=0.08)
+    split = list(split_subreads([("ul0", read)], cfg.split))
+    assert len(split) == 3
+    assert all(len(s) <= 50_000 for _, s in split)
+    m4s, qstore = map_all(split, store, index, cfg)
+    mapped = {m.qid for m in m4s}
+    assert mapped == {0, 1, 2}, (mapped, [(m.qid, m.soff, m.send)
+                                          for m in m4s])
+    # subreads land in order on the genome
+    spans = sorted((min(m.soff for m in m4s if m.qid == q),
+                    max(m.send for m in m4s if m.qid == q))
+                   for q in range(3))
+    assert spans[0][0] < spans[1][0] < spans[2][0]
+    assert 25_000 < spans[0][0] < 35_000
+    assert 145_000 < spans[2][1] < 155_000

@@ -41,11 +41,16 @@ def kmer_hashes(codes: np.ndarray, k: int, stride: int = 1,
     offs = np.arange(start, n - k + 1, stride, dtype=np.int64)
     h = np.zeros(len(offs), dtype=np.int64)
     valid = np.ones(len(offs), dtype=bool)
-    c64 = codes.astype(np.int64)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    buf = np.empty(len(offs), dtype=np.int64)
     for j in range(k):
-        cj = c64[offs + j]
+        np.add(offs, j, out=buf)
+        cj = codes[buf]                 # uint8 gather (no i64 blowup)
         valid &= cj < 4
-        h = (h << 2) | np.where(cj < 4, cj, 0)
+        np.left_shift(h, 2, out=h)
+        # codes are 0..4; the ambiguous code 4 must contribute 0 bits
+        # (4 & 3 == 0), matching where(cj < 4, cj, 0)
+        h |= (cj & 3)
     h[~valid] = -1
     return offs, h
 

@@ -256,6 +256,9 @@ def _align_pairs_jax(pairs, cfg, free_end):
     pending: list[tuple[list[int], dict]] = []
     di = 0
     for (Qm, Sm, W, mode), idxs in buckets.items():
+        # homogeneous chunks: short segments together so the device-side
+        # row slicing (Rq = pow2(max qlen in chunk)) stays tight
+        idxs.sort(key=lambda i: len(pairs[i][0]))
         Bfix = _lanes_for(Qm, W)
         for start in range(0, len(idxs), Bfix):
             chunk = idxs[start : start + Bfix]

@@ -333,10 +333,14 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
     # transfer back to the host dominates on tunneled devices, so dead
     # lanes and dead query rows are sliced off ON DEVICE before the
     # readback (pow2 ladders keep the slice-executable count bounded)
+    # coarse ladders: every distinct slice shape is a separately
+    # (remotely) compiled executable, so 3 lane widths and x4 row steps
     nz = np.flatnonzero(qlen > 0)
     n_live = int(nz[-1]) + 1 if len(nz) else 1
-    Bs = _pow2ceil(n_live, lo=8)
-    Rq = _pow2ceil(int(qlen.max(initial=0)) + 1, lo=16)
+    Bs = 8 if n_live <= 8 else 128 if n_live <= 128 else 1024
+    Rq = 16
+    while Rq < int(qlen.max(initial=0)) + 1:
+        Rq *= 4
 
     def put(x):
         a = jnp.asarray(x)
@@ -382,25 +386,23 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
                 mode=mode, free_end=free_end, slen=slen[:Bs2])
 
 
-def _pow2ceil(x: int, lo: int) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
-
 
 def banded_align_finish(pend: dict):
     """Block on a pending fill, run the host traceback, return the
     banded_align_batch result dict."""
+    from lesv_tpu.utils import profiling
+
     B, W, mode, free_end = (pend["B"], pend["W"], pend["mode"],
                             pend["free_end"])
-    dirs = np.asarray(pend["dirs"])
-    score = np.asarray(pend["score"])[:B]
-    end_i = np.asarray(pend["end_i"])
-    end_b = np.asarray(pend["end_b"])
-    ok = np.asarray(pend["ok"])
-    ops, nops, reached = traceback_batch(dirs, end_i, end_b, ok, W, mode,
-                                         layout=pend["layout"])
+    with profiling.trace("align/fetch"):
+        dirs = np.asarray(pend["dirs"])
+        score = np.asarray(pend["score"])[:B]
+        end_i = np.asarray(pend["end_i"])
+        end_b = np.asarray(pend["end_b"])
+        ok = np.asarray(pend["ok"])
+    with profiling.trace("align/traceback"):
+        ops, nops, reached = traceback_batch(dirs, end_i, end_b, ok, W,
+                                             mode, layout=pend["layout"])
     end_i = end_i[:B]
     end_b = end_b[:B]
     ok = ok[:B]

@@ -161,5 +161,6 @@ def pair_matches_batch(
     qoff, soff, valid, total = _pair_seed_kernel(
         jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
         jnp.asarray(slen), k=k, q_stride=q_stride, max_occ=max_occ, M=M)
-    return (np.asarray(qoff), np.asarray(soff), np.asarray(valid),
-            np.asarray(total))
+    # match buffers stay ON DEVICE (the chain DP consumes them there);
+    # only the tiny totals come back
+    return qoff, soff, valid, np.asarray(total)

@@ -29,12 +29,14 @@ def _pair_chain_cfg(cfg: LesvConfig):
 
 
 def _shrink_M(total: np.ndarray, M: int, lo: int = 256) -> int:
-    """pow2 slot count covering every lane's (budget-clamped) match
-    count; match buffers beyond it hold only invalid slots."""
+    """x4-ladder slot count covering every lane's (budget-clamped) match
+    count; match buffers beyond it hold only invalid slots.  Coarse
+    steps keep the number of (remotely) compiled chain-scan shapes
+    small."""
     need = int(np.minimum(np.asarray(total), M).max(initial=0))
     Mp = lo
     while Mp < need:
-        Mp *= 2
+        Mp *= 4
     return min(Mp, M)
 
 
@@ -81,12 +83,12 @@ def batch_pair_chains(
                     chunk, k=k, M=M, Qb=Qb, Sb=Sb)
             # valid slots are a prefix (the expansion fills 0..total-1):
             # the chain DP only needs pow2(max total) slots — usually
-            # far fewer scan steps than the full budget
+            # far fewer scan steps than the full budget.  Buffers stay
+            # on device end to end (slices are lazy device ops).
             Mp = _shrink_M(total, M)
             with profiling.trace("pairchain_device"):
-                lanes = chain_lanes(jnp.asarray(qoff[:, :Mp]),
-                                    jnp.asarray(soff[:, :Mp]),
-                                    jnp.asarray(valid[:, :Mp]), k, pcfg,
+                lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
+                                    valid[:, :Mp], k, pcfg,
                                     J=cfg.chain.lookback)
             for j, i in enumerate(cidx):
                 if total[j] > M:

@@ -140,6 +140,27 @@ def align_pairs(
     return _align_pairs_jax(pairs, cfg, free_end)
 
 
+# global segments this small solve as full rectangles either way; the
+# host micro-DP is ~us per pair while a device lane costs dispatch +
+# readback latency.  Both paths are bit-identical (full-DP case).
+TINY_SEG = 16
+
+
+def align_pairs_host(
+    pairs: Sequence[tuple[np.ndarray, np.ndarray]],
+    cfg: AlignConfig | None = None,
+    free_end: bool = False,
+) -> list[Alignment | None]:
+    """Host-only path (native C++ fill when built, numpy oracle
+    otherwise) — used for tiny segments where device latency dominates."""
+    from lesv_tpu import native as _nat
+
+    cfg = cfg or AlignConfig()
+    if _nat.available():
+        return _align_pairs_native(pairs, cfg, free_end)
+    return _align_pairs_np(pairs, cfg, free_end)
+
+
 def _align_pairs_native(pairs, cfg, free_end):
     """Per-pair native C++ fill + traceback (host path)."""
     from lesv_tpu import native

@@ -105,8 +105,20 @@ def anchored_align_many(
             plan.append(("M", ln))
         plans.append(plan)
 
+    from lesv_tpu.ops.align_batch import TINY_SEG, align_pairs_host
+
+    tiny = [k for k, (a, b) in enumerate(seg_pairs)
+            if max(len(a), len(b)) <= TINY_SEG]
+    big = [k for k in range(len(seg_pairs)) if k not in set(tiny)]
+    seg_out: list[Alignment | None] = [None] * len(seg_pairs)
+    with _tr("anchored/tiny_segments"):
+        for k, a in zip(tiny, align_pairs_host(
+                [seg_pairs[k] for k in tiny], cfg, free_end=False)):
+            seg_out[k] = a
     with _tr("anchored/segments"):
-        seg_out = align_pairs(seg_pairs, cfg, free_end=False)
+        for k, a in zip(big, align_pairs(
+                [seg_pairs[k] for k in big], cfg, free_end=False)):
+            seg_out[k] = a
 
     cores: list[Alignment | None] = []
     for ti, plan in enumerate(plans):

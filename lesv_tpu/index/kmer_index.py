@@ -73,28 +73,38 @@ class KmerIndex:
     def build(cls, store: SeqStore, cfg: IndexConfig | None = None) -> "KmerIndex":
         cfg = cfg or IndexConfig()
         k, w, max_occ = cfg.kmer_size, cfg.kmer_window, cfg.max_kmer_occ
+        from lesv_tpu import native
+
         all_h: list[np.ndarray] = []
         all_p: list[np.ndarray] = []
         for sid in range(store.num_seqs):
             codes = store.get(sid)
-            offs, h = kmer_hashes(codes, k, stride=w)
-            keep = h >= 0
-            all_h.append(h[keep])
-            all_p.append((offs[keep] + int(store.starts[sid])).astype(np.uint32))
+            got = native.kmer_scan(codes, k, w, int(store.starts[sid]))
+            if got is not None:
+                hv, pv = got
+            else:
+                offs, hv = kmer_hashes(codes, k, stride=w)
+                keep = hv >= 0
+                hv = hv[keep]
+                pv = (offs[keep] + int(store.starts[sid])).astype(np.uint32)
+            all_h.append(hv)
+            all_p.append(pv)
         h = np.concatenate(all_h) if all_h else np.empty(0, np.int64)
         p = np.concatenate(all_p) if all_p else np.empty(0, np.uint32)
-        # sort by (hash, position)
-        order = np.lexsort((p, h))
-        h, p = h[order], p[order]
+        # sort by (hash, position): p is globally ascending here (subjects
+        # appended in start order, offsets ascending within each), so a
+        # STABLE sort by hash alone leaves positions ascending per group.
+        if not native.radix_sort_hash_pos(h, p, nbits=2 * k):
+            order = np.lexsort((p, h))
+            h, p = h[order], p[order]
         # group by hash; drop hashes with occupancy > max_occ
         uniq, start, counts = _run_lengths(h)
         keep = counts <= max_occ
         uniq_k = uniq[keep]
         counts_k = counts[keep]
         # compact the position list
-        starts_k = start[keep]
-        pos_idx = _expand_ranges(starts_k, counts_k)
-        p = p[pos_idx]
+        if not keep.all():
+            p = p[np.repeat(keep, counts)]
         new_start = np.zeros(len(uniq_k) + 1, dtype=np.int64)
         np.cumsum(counts_k, out=new_start[1:])
         return cls(k=k, window=w, uniq_hash=uniq_k, start=new_start,

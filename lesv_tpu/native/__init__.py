@@ -66,6 +66,13 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
         u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p]
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.kmer_scan.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i64p, u32p]
+    lib.kmer_scan.restype = ctypes.c_int64
+    lib.radix_sort_hash_pos.argtypes = [
+        ctypes.c_int64, i64p, u32p, ctypes.c_int64, ctypes.c_int64]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.banded_fill.argtypes = [
         ctypes.c_int64, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
@@ -223,6 +230,38 @@ def chain_extract(f: np.ndarray, p: np.ndarray, v: np.ndarray,
                       min_score, min_cnt, max_chains,
                       paths, bounds, scores, nc)
     return paths, bounds, scores, int(nc[0])
+
+
+def kmer_scan(codes: np.ndarray, k: int, stride: int, base: int):
+    """Native rolling-hash k-mer scan (valid windows only).
+
+    Returns (hashes int64, global positions uint32) or None."""
+    if _off("kmer_scan"):
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(codes)
+    cap = max(1, (max(n - k + 1, 0) + stride - 1) // stride)
+    h = np.empty(cap, np.int64)
+    p = np.empty(cap, np.uint32)
+    m = lib.kmer_scan(np.ascontiguousarray(codes, np.uint8), n, k,
+                      stride, base, h, p)
+    return h[:m], p[:m]
+
+
+def radix_sort_hash_pos(h: np.ndarray, p: np.ndarray, nbits: int,
+                        nthreads: int = 0) -> bool:
+    """Stable MT radix sort of (h, p) by h, IN PLACE. True on success."""
+    if _off("radix_sort_hash_pos"):
+        return False
+    lib = _load()
+    if lib is None:
+        return False
+    assert h.dtype == np.int64 and p.dtype == np.uint32
+    assert h.flags.c_contiguous and p.flags.c_contiguous
+    lib.radix_sort_hash_pos(len(h), h, p, nbits, nthreads)
+    return True
 
 
 def fccns_link_dp(link_col: np.ndarray, pred_col: np.ndarray,

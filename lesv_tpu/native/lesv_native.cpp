@@ -14,9 +14,106 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <thread>
 #include <vector>
 
 extern "C" {
+
+// Rolling-hash k-mer scan over one 2-bit-coded sequence (the index-build
+// half of the reference's `get_khao_array`, algo/lookup_table.c:27-92).
+// Emits (hash, global position) for every VALID k-mer starting at local
+// offsets 0, stride, 2*stride, ...; windows containing an ambiguous code
+// (>= 4) are skipped.  Hash is the MSB-first 2-bit pack (identical to
+// lesv_tpu.index.kmer_index.kmer_hashes).  Returns the emit count.
+// O(n) via a rolling shift instead of the numpy path's k gathers.
+int64_t kmer_scan(
+    const uint8_t* codes, int64_t n, int64_t k, int64_t stride,
+    int64_t base, int64_t* out_hash, uint32_t* out_pos)
+{
+    if (n < k) return 0;
+    const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    uint64_t h = 0;
+    int64_t last_ambig = -1;  // most recent position with code >= 4
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t c = codes[i];
+        if (c >= 4) { last_ambig = i; c = 0; }
+        h = ((h << 2) | c) & mask;
+        int64_t o = i - k + 1;  // window start
+        if (o >= 0 && o % stride == 0 && last_ambig < o) {
+            out_hash[m] = (int64_t)h;
+            out_pos[m] = (uint32_t)(base + o);
+            ++m;
+        }
+    }
+    return m;
+}
+
+// Multithreaded stable LSD radix sort of (hash, position) pairs by hash
+// (the reference's MT bucket sort, algo/hash_list_bucket_sort.c).
+// 8-bit digits, ceil(nbits/8) passes; stability means positions stay
+// ascending within each hash group when they enter globally ascending.
+void radix_sort_hash_pos(
+    int64_t n, int64_t* h, uint32_t* p, int64_t nbits, int64_t nthreads)
+{
+    if (n <= 1) return;
+    int64_t T = std::max<int64_t>(1, std::min<int64_t>(
+        nthreads > 0 ? nthreads : std::thread::hardware_concurrency(), 16));
+    const int64_t passes = (nbits + 7) / 8;
+    std::vector<int64_t> h2(n);
+    std::vector<uint32_t> p2(n);
+    int64_t* hs = h;      uint32_t* ps = p;
+    int64_t* hd = h2.data(); uint32_t* pd = p2.data();
+    std::vector<int64_t> counts(T * 256);
+    const int64_t chunk = (n + T - 1) / T;
+    for (int64_t pass = 0; pass < passes; ++pass) {
+        const int shift = (int)(pass * 8);
+        std::fill(counts.begin(), counts.end(), 0);
+        auto hist = [&](int64_t t) {
+            int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            int64_t* c = counts.data() + t * 256;
+            for (int64_t i = lo; i < hi; ++i)
+                ++c[(hs[i] >> shift) & 0xff];
+        };
+        {
+            std::vector<std::thread> th;
+            for (int64_t t = 1; t < T; ++t) th.emplace_back(hist, t);
+            hist(0);
+            for (auto& x : th) x.join();
+        }
+        // offsets: bucket-major exclusive scan, thread order preserved
+        // within a bucket => globally stable scatter
+        int64_t off = 0;
+        std::vector<int64_t> offs(T * 256);
+        for (int b = 0; b < 256; ++b)
+            for (int64_t t = 0; t < T; ++t) {
+                offs[t * 256 + b] = off;
+                off += counts[t * 256 + b];
+            }
+        auto scatter = [&](int64_t t) {
+            int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            int64_t* o = offs.data() + t * 256;
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t d = (hs[i] >> shift) & 0xff;
+                int64_t j = o[d]++;
+                hd[j] = hs[i];
+                pd[j] = ps[i];
+            }
+        };
+        {
+            std::vector<std::thread> th;
+            for (int64_t t = 1; t < T; ++t) th.emplace_back(scatter, t);
+            scatter(0);
+            for (auto& x : th) x.join();
+        }
+        std::swap(hs, hd);
+        std::swap(ps, pd);
+    }
+    if (hs != h) {  // odd number of passes: copy back
+        std::memcpy(h, hs, n * sizeof(int64_t));
+        std::memcpy(p, ps, n * sizeof(uint32_t));
+    }
+}
 
 // Chain DP forward scoring. Seeds must be sorted by (soff, qoff).
 // Exact semantics of lesv_tpu.ops.chain.chain_score_np (the reference's

@@ -113,12 +113,33 @@ def bench_kernel():
             )
 
             if pallas_supported(B, Q, S, W):
-                def pallas_fill(ql):
-                    return _pallas_fill_jit(
-                        jq, js, ql, jsl, W, "diag", False, cfg.match,
-                        cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
-                        cfg.gap_open2, cfg.gap_ext2)
+                import lesv_tpu.ops.align_pallas as ap
 
+                def _mk(i16):
+                    def pallas_fill(ql):
+                        return _pallas_fill_jit(
+                            jq, js, ql, jsl, W, "diag", False, cfg.match,
+                            cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
+                            cfg.gap_open2, cfg.gap_ext2, i16=i16)
+
+                    return pallas_fill
+
+                want_i16 = (ap._i16_ok(Q, W, cfg.match, cfg.mismatch,
+                                       cfg.gap_open1, cfg.gap_ext1,
+                                       cfg.gap_open2, cfg.gap_ext2)
+                            and not ap._I16_BROKEN)
+                pallas_fill = _mk(want_i16)
+                if want_i16:
+                    try:     # same gated fallback as production
+                        np.asarray(pallas_fill(jql)[1])
+                    except Exception as e:
+                        if not ap._is_lowering_error(e):
+                            raise
+                        ap._I16_BROKEN = True
+                        print("# i16 Pallas lowering unavailable on this "
+                              "libtpu (see DESIGN.md); benching i32",
+                              file=sys.stderr)
+                        pallas_fill = _mk(False)
                 fills["pallas"] = pallas_fill
 
         cells = B * Q * W
@@ -127,8 +148,24 @@ def bench_kernel():
             t_one = _time(_chained(fill, jql, 1), jql)
             dt = max((t_many - t_one) / (k - 1), 1e-9)
             rate = cells / dt
+            extra = ""
+            if name == "pallas":
+                import math
+
+                from lesv_tpu.ops import align_pallas as ap
+
+                variant = ("i16" if ap._i16_ok(
+                    Q, W, cfg.match, cfg.mismatch, cfg.gap_open1,
+                    cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2)
+                    and not ap._I16_BROKEN else "i32")
+                # VPU roofline: ~45 vector ops/cell + 2*log2(W) scan ops;
+                # v5e VPU peak ~= 8*128*4 ALUs * 0.94GHz = 3.9e12 ops/s
+                # (see DESIGN.md "Kernel roofline")
+                ops_cell = 45 + 2 * math.log2(W)
+                extra = (f" [{variant}, ~{rate * ops_cell / 3.9e12:.0%}"
+                         f" of VPU peak]")
             print(f"# B={B} Q={Q} W={W} {name}: {dt*1e3:.2f} ms/fill "
-                  f"-> {rate/1e9:.2f} Gcells/s", file=sys.stderr)
+                  f"-> {rate/1e9:.2f} Gcells/s{extra}", file=sys.stderr)
             best_cells = max(best_cells, rate)
     return best_cells
 

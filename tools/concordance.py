@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 from lesv_tpu.config import LesvConfig
-from lesv_tpu.io.fasta import decode_seq, write_fasta
+from lesv_tpu.io.fasta import decode_seq, read_fasta, write_fasta
 from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
 
 REF_SRC = "/root/reference/src"
@@ -89,7 +89,16 @@ def run_reference(bin_dir: str, wrk: str, reads_fa: str, ref_fa: str,
     run([B("qx2svr"), svr, pdb, "3000", "70.0", "300", str(threads)])
     svsig = os.path.join(wrk, "sv_signature")
     run([B("qx2svsig"), svsig, svr, pdb, "40", str(threads)])
-    return {"split": split_fa, "m4": m4, "svr": svr, "svsig": svsig}
+    # stages 5-7 (`scripts/lesv.sh:174-225`)
+    group = os.path.join(wrk, "svr_group")
+    os.makedirs(group, exist_ok=True)
+    run([B("qx2msvrg"), group, svsig, pdb])
+    cns = os.path.join(wrk, "svr_group_cns")
+    os.makedirs(cns, exist_ok=True)
+    run([B("qx2csvrg"), "-num_threads", str(threads), cns, group, pdb])
+    run([B("qx2asvr"), pdb, cns, str(threads)])
+    return {"split": split_fa, "m4": m4, "svr": svr, "svsig": svsig,
+            "group": group, "cns": cns}
 
 
 def parse_m4_text(path: str) -> list[dict]:
@@ -133,6 +142,167 @@ def parse_ref_signatures(svsig_dir: str) -> list[dict]:
                                  length=length,
                                  qname=c[13].strip() if len(c) > 13 else ""))
     return sigs
+
+
+def parse_ref_groups(group_dir: str) -> list[dict]:
+    """Parse subject_*_sv_read_group files (`find_one_sv_group.cpp:21-28`:
+    per group a `gid \\t count` header then `count` dump_svsig lines)."""
+    groups = []
+    if not os.path.isdir(group_dir):
+        return groups
+    for fn in sorted(os.listdir(group_dir)):
+        if not fn.endswith("_sv_read_group"):
+            continue
+        sid = int(fn.split("_")[1])
+        with open(os.path.join(group_dir, fn)) as fh:
+            lines = fh.read().splitlines()
+        i = 0
+        while i < len(lines):
+            head = lines[i].split("\t")
+            i += 1
+            if len(head) != 2:
+                continue
+            gid, cnt = int(head[0]), int(head[1])
+            sigs = []
+            for _ in range(cnt):
+                c = lines[i].split("\t")
+                i += 1
+                typ = int(c[12])
+                kind = "DEL" if typ == 0 else "INS"
+                sfrom, sto = int(c[7]), int(c[8])
+                qfrom, qto = int(c[2]), int(c[3])
+                length = (sto - sfrom) if kind == "DEL" else (qto - qfrom)
+                sigs.append(dict(sfrom=sfrom, length=length))
+            groups.append(dict(sid=sid, gid=gid, kind=kind, sigs=sigs))
+    return groups
+
+
+def _base_name(name: str) -> str:
+    """Strip the `_svr:`/`_cns:`/`_s<sid>_g<gid>` header suffixes back to
+    the raw (split) read name (`sv_read_group_file_name.cpp:127`,
+    `cns_one_group.c:621`, `corelib/cns_read_header.c`)."""
+    for tag in ("_svr:", "_cns:"):
+        p = name.find(tag)
+        if p >= 0:
+            name = name[:p]
+    return name
+
+
+def parse_ref_cns_fasta(cns_dir: str) -> list[dict]:
+    """Corrected-read FASTAs dumped by qx2csvrg into the cns dir."""
+    out = []
+    for fn in sorted(os.listdir(cns_dir)):
+        if not (fn.endswith(".fasta") or fn.endswith(".fa")):
+            continue
+        for name, codes in read_fasta(os.path.join(cns_dir, fn)):
+            out.append(dict(name=name, base=_base_name(name), length=len(codes)))
+    return out
+
+
+def parse_ref_sam(cns_dir: str) -> list[dict]:
+    """Remapped SAM records emitted by qx2asvr (`map_cns_sv_read.c`)."""
+    recs = []
+    for fn in sorted(os.listdir(cns_dir)):
+        if not fn.endswith(".sam"):
+            continue
+        with open(os.path.join(cns_dir, fn)) as fh:
+            for line in fh:
+                if line.startswith("@"):
+                    continue
+                c = line.rstrip("\n").split("\t")
+                if len(c) < 11 or c[2] == "*":
+                    continue
+                recs.append(dict(qname=c[0], base=_base_name(c[0]),
+                                 flag=int(c[1]), rname=c[2],
+                                 pos=int(c[3]) - 1))
+    return recs
+
+
+def compare_groups(ref_groups: list[dict], our_groups,
+                   pos_tol: int = 100) -> dict:
+    """Match groups per (sid, kind) by member-signature overlap: a ref
+    member matches an our member at |sfrom| <= tol and similar length;
+    a group pair matches when >= half of the smaller side's members
+    pair up."""
+    ours = [dict(sid=g.subject_id, kind=g.kind,
+                 sigs=[dict(sfrom=s.sfrom, length=s.length)
+                       for s in g.sigs], used=False)
+            for g in our_groups]
+    matched = 0
+    jaccs = []
+    for rg in ref_groups:
+        best, best_j = None, 0.0
+        for og in ours:
+            if og["used"] or og["sid"] != rg["sid"] or og["kind"] != rg["kind"]:
+                continue
+            taken = [False] * len(og["sigs"])
+            m = 0
+            for rs in rg["sigs"]:
+                for t, osig in enumerate(og["sigs"]):
+                    if taken[t]:
+                        continue
+                    if abs(osig["sfrom"] - rs["sfrom"]) > pos_tol:
+                        continue
+                    lo, hi = sorted((osig["length"], rs["length"]))
+                    if lo < 0.5 * hi:
+                        continue
+                    taken[t] = True
+                    m += 1
+                    break
+            j = m / max(1, len(rg["sigs"]) + len(og["sigs"]) - m)
+            if j > best_j:
+                best, best_j = og, j
+        if best is not None and best_j >= 1 / 3:
+            best["used"] = True
+            matched += 1
+            jaccs.append(best_j)
+    return {"ref_groups": len(ref_groups), "our_groups": len(ours),
+            "matched": matched,
+            "ref_recall": matched / max(1, len(ref_groups)),
+            "our_precision": matched / max(1, len(ours)),
+            "member_jaccard_mean": float(np.mean(jaccs)) if jaccs else 0.0}
+
+
+def compare_cns(ref_cns: list[dict], our_corrected) -> dict:
+    """Corrected-read concordance by raw-read base name + length ratio."""
+    ours = {}
+    for cr in our_corrected:
+        ours.setdefault(_base_name(cr.name), []).append(len(cr.seq))
+    matched = 0
+    len_ratios = []
+    used = set()
+    for r in ref_cns:
+        lens = ours.get(r["base"])
+        if lens:
+            matched += 1
+            used.add(r["base"])
+            len_ratios.append(min(lens[0], r["length"])
+                              / max(1, max(lens[0], r["length"])))
+    n_ours = sum(len(v) for v in ours.values())
+    return {"ref_cns": len(ref_cns), "our_cns": n_ours, "matched": matched,
+            "ref_recall": matched / max(1, len(ref_cns)),
+            "len_ratio_mean": float(np.mean(len_ratios)) if len_ratios else 0.0}
+
+
+def compare_sam(ref_sam: list[dict], our_remapped, snames,
+                pos_tol: int = 200) -> dict:
+    """Remapped-SAM concordance: per raw-read base name, subject +
+    position within tolerance (the pbsv input artifact — the deepest
+    comparable record before the external caller)."""
+    ours = {}
+    for rr in our_remapped:
+        ours.setdefault(_base_name(rr.name), []).append(
+            (snames[rr.subject_id], rr.pos))
+    matched = 0
+    for r in ref_sam:
+        for sname, pos in ours.get(r["base"], ()):
+            if sname == r["rname"] and abs(pos - r["pos"]) <= pos_tol:
+                matched += 1
+                break
+    n_ours = sum(len(v) for v in ours.values())
+    return {"ref_sam": len(ref_sam), "our_sam": n_ours, "matched": matched,
+            "ref_recall": matched / max(1, len(ref_sam)),
+            "our_precision": min(1.0, matched / max(1, n_ours))}
 
 
 def read_fasta_records(path: str) -> list[tuple[str, str]]:
@@ -247,6 +417,10 @@ def one_seed(seed: int, args, bin_dir: str) -> dict:
     from lesv_tpu.pipeline.signatures import extract_signatures
     from lesv_tpu.pipeline.sv_reads import select_sv_reads
 
+    from lesv_tpu.pipeline.cns import cns_groups
+    from lesv_tpu.pipeline.grouping import group_signatures
+    from lesv_tpu.pipeline.remap import remap_all
+
     cfg = LesvConfig()
     t0 = time.time()
     split = list(split_subreads(reads, cfg.split))
@@ -255,6 +429,9 @@ def one_seed(seed: int, args, bin_dir: str) -> dict:
     m4s, qstore = map_all(split, sstore, index, cfg)
     svrs = select_sv_reads(m4s, qstore, sstore, cfg)
     sigs = extract_signatures(svrs, qstore, sstore, cfg)
+    groups = group_signatures(sigs, cfg)
+    corrected = cns_groups(groups, qstore, cfg)
+    remapped = remap_all(corrected, sstore, cfg)
     t_ours = time.time() - t0
 
     our_m4 = [dict(qname=qstore.name_of(m.qid), sname="chr1", qdir=m.qdir,
@@ -270,6 +447,10 @@ def one_seed(seed: int, args, bin_dir: str) -> dict:
         "m4": compare_m4(parse_m4_text(ref_art["m4"]), our_m4),
         "signatures": compare_signatures(
             parse_ref_signatures(ref_art["svsig"]), our_sigs),
+        "groups": compare_groups(parse_ref_groups(ref_art["group"]), groups),
+        "cns": compare_cns(parse_ref_cns_fasta(ref_art["cns"]), corrected),
+        "sam": compare_sam(parse_ref_sam(ref_art["cns"]), remapped,
+                           snames={0: "chr1"}),
         "wall_ref_s": round(t_ref, 1),
         "wall_ours_s": round(t_ours, 1),
     }
@@ -313,6 +494,12 @@ def main():
             [r["signatures"]["ref_recall"] for r in reports])),
         "sig_our_precision_mean": float(np.mean(
             [r["signatures"]["our_precision"] for r in reports])),
+        "group_ref_recall_mean": float(np.mean(
+            [r["groups"]["ref_recall"] for r in reports])),
+        "cns_ref_recall_mean": float(np.mean(
+            [r["cns"]["ref_recall"] for r in reports])),
+        "sam_ref_recall_mean": float(np.mean(
+            [r["sam"]["ref_recall"] for r in reports])),
     }
     with open(os.path.join(args.out, "concordance.json"), "w") as fh:
         json.dump(summary, fh, indent=2)

@@ -23,6 +23,7 @@ padded up to the bucket width — one executable per bucket, ever.
 from __future__ import annotations
 
 import os
+import threading as _threading
 from typing import Sequence
 
 import numpy as np
@@ -236,6 +237,71 @@ def _fill_devices():
     return devs
 
 
+def _host_cost(lq: int, ls: int, free_end: bool) -> int:
+    """Estimated native host fill cost (cells) for one pair — the band
+    width the host path (`_align_pairs_native`) would actually use."""
+    if free_end:
+        W = min(max(128, lq // 2), ls + 1)
+    else:
+        pad = _seg_pad(lq, ls)
+        need = 2 * (abs(ls - lq) + 2 * pad)
+        W = need if need < ls + 1 else ls + 1
+    return lq * W
+
+
+def _host_route(pairs, free_end: bool, on_cpu: bool) -> set[int]:
+    """Pairs to solve on the host instead of the device.
+
+    On a tunneled chip each dispatch costs an RTT (0.2-1.6 s measured,
+    DESIGN.md round-2 profile) while the native C++ fill does a small
+    segment in ~10-100 us; consensus waves are thousands of tiny full-DP
+    fills, so routing everything below a per-pair cell cap to the host
+    (up to a total budget) removes most dispatches outright.  ctypes
+    releases the GIL, so host fills parallelize across cores."""
+    mode = os.environ.get("LESV_TPU_HOST_SMALL", "auto")
+    if mode == "0" or (mode == "auto" and on_cpu):
+        return set()
+    from lesv_tpu import native as _nat
+
+    if not _nat.available():
+        return set()
+    cap = int(os.environ.get("LESV_TPU_HOST_CELLS_CAP", 1 << 18))
+    budget = float(os.environ.get("LESV_TPU_HOST_CELLS_BUDGET", 4e9))
+    costed = []
+    for i, (q, s) in enumerate(pairs):
+        lq, ls = len(q), len(s)
+        if lq == 0 or ls == 0:
+            continue
+        c = _host_cost(lq, ls, free_end)
+        if c <= cap:
+            costed.append((c, i))
+    costed.sort()
+    out: set[int] = set()
+    tot = 0.0
+    for c, i in costed:
+        if tot + c > budget:
+            break
+        tot += c
+        out.add(i)
+    return out
+
+
+def _n_host_workers() -> int:
+    n = os.environ.get("LESV_TPU_HOST_FILL_THREADS")
+    if n:
+        return max(1, int(n))
+    return max(1, min(8, os.cpu_count() or 1))
+
+
+def _n_dispatch_workers(on_cpu: bool) -> int:
+    n = os.environ.get("LESV_TPU_DISPATCH_THREADS")
+    if n:
+        return max(1, int(n))
+    # CPU backend: serial (jaxlib's XLA:CPU compile path is flaky under
+    # concurrent churn; the fill is compute-bound there anyway).
+    return 1 if on_cpu else 8
+
+
 def _align_pairs_jax(pairs, cfg, free_end):
     from lesv_tpu.ops.align_jax import (
         banded_align_dispatch,
@@ -245,13 +311,21 @@ def _align_pairs_jax(pairs, cfg, free_end):
 
     setup_jax()
 
+    import jax
+
+    from lesv_tpu.utils import profiling
+
     results: list[Alignment | None] = [None] * len(pairs)
     q2 = _quant_fn()
-    # assign buckets
+    on_cpu = jax.default_backend() == "cpu"
+
+    hosted = _host_route(pairs, free_end, on_cpu)
+
+    # assign device buckets
     buckets: dict[tuple[int, int, int, str], list[int]] = {}
     for i, (q, s) in enumerate(pairs):
         lq, ls = len(q), len(s)
-        if lq == 0 or ls == 0:
+        if lq == 0 or ls == 0 or i in hosted:
             continue
         if free_end:
             W = _next_pow2(min(max(128, lq // 2), ls + 1), lo=64)
@@ -265,16 +339,49 @@ def _align_pairs_jax(pairs, cfg, free_end):
             b = _bucket_of(lq, ls, q2)
         buckets.setdefault(b, []).append(i)
 
-    import jax
-
-    from lesv_tpu.utils import profiling
-
-    on_cpu = jax.default_backend() == "cpu"
     devices = _fill_devices()
-    # phase 1: dispatch every chunk (async), round-robin over devices —
-    # fills run concurrently across chips and overlap the host padding
-    # work of later chunks
-    pending: list[tuple[list[int], dict]] = []
+    lock = _threading.Lock()
+    retry: list[int] = []
+
+    def run_host_block(idxs: list[int]) -> None:
+        out = _align_pairs_native([pairs[i] for i in idxs], cfg, free_end)
+        with lock:
+            for i, a in zip(idxs, out):
+                results[i] = a
+
+    def run_chunk(chunk: list[int], Qm: int, Sm: int, W: int, mode: str,
+                  B: int, dev) -> None:
+        qb = np.zeros((B, Qm), np.uint8)
+        sb = np.zeros((B, Sm), np.uint8)
+        qlen = np.zeros(B, np.int32)
+        slen = np.zeros(B, np.int32)
+        for j, i in enumerate(chunk):
+            q, s = pairs[i]
+            qb[j, : len(q)] = q
+            s = s[:Sm]                  # diag: cols past Qmax+W are
+            sb[j, : len(s)] = s         # outside every band row
+            qlen[j] = len(q)
+            slen[j] = len(s)
+        with profiling.trace(f"align/dispatch/{mode}/W{W}"):
+            pend = banded_align_dispatch(qb, sb, qlen, slen, W, mode,
+                                         cfg, free_end=free_end,
+                                         device=dev)
+        with profiling.trace(f"align/finish/{mode}/W{W}"):
+            out = banded_align_finish(pend)
+        with lock:
+            for j, i in enumerate(chunk):
+                if not out["ok"][j]:
+                    retry.append(i)
+                    continue
+                n = int(out["nops"][j])
+                ops = out["ops"][j][:n].astype(np.uint8)
+                results[i] = Alignment(
+                    0, int(out["qe"][j]), 0, int(out["se"][j]),
+                    ops, score=int(out["score"][j]))
+
+    # device chunk list: each is a (pad + dispatch + readback + traceback)
+    # task; a thread pool keeps several tunnel round trips in flight
+    tasks = []
     di = 0
     for (Qm, Sm, W, mode), idxs in buckets.items():
         # homogeneous chunks: short segments together so the device-side
@@ -288,40 +395,34 @@ def _align_pairs_jax(pairs, cfg, free_end):
             # width (one executable per bucket)
             B = (1 if len(chunk) == 1 else 8 if len(chunk) <= 8 else
                  Bfix) if on_cpu else Bfix
-            qb = np.zeros((B, Qm), np.uint8)
-            sb = np.zeros((B, Sm), np.uint8)
-            qlen = np.zeros(B, np.int32)
-            slen = np.zeros(B, np.int32)
-            for j, i in enumerate(chunk):
-                q, s = pairs[i]
-                qb[j, : len(q)] = q
-                s = s[:Sm]                  # diag: cols past Qmax+W are
-                sb[j, : len(s)] = s         # outside every band row
-                qlen[j] = len(q)
-                slen[j] = len(s)
             dev = devices[di % len(devices)] if len(devices) > 1 else None
             di += 1
-            with profiling.trace(f"align/dispatch/{mode}/W{W}"):
-                pend = banded_align_dispatch(qb, sb, qlen, slen, W, mode,
-                                             cfg, free_end=free_end,
-                                             device=dev)
-            pending.append((chunk, pend))
+            tasks.append((chunk, Qm, Sm, W, mode, B, dev))
 
-    # phase 2: read back + traceback in dispatch order
-    retry: list[int] = []
-    for chunk, pend in pending:
-        with profiling.trace(
-                f"align/finish/{pend['mode']}/W{pend['W']}"):
-            out = banded_align_finish(pend)
-        for j, i in enumerate(chunk):
-            if not out["ok"][j]:
-                retry.append(i)
-                continue
-            n = int(out["nops"][j])
-            ops = out["ops"][j][:n].astype(np.uint8)
-            results[i] = Alignment(
-                0, int(out["qe"][j]), 0, int(out["se"][j]),
-                ops, score=int(out["score"][j]))
+    host_blocks = []
+    if hosted:
+        hs = sorted(hosted)
+        HB = 512
+        host_blocks = [hs[i : i + HB] for i in range(0, len(hs), HB)]
+
+    nd = _n_dispatch_workers(on_cpu)
+    if nd <= 1 and not host_blocks:
+        for t in tasks:
+            run_chunk(*t)
+    else:
+        import concurrent.futures as _fut
+
+        futs = []
+        with _fut.ThreadPoolExecutor(max_workers=max(nd, 2)) as dev_pool, \
+                _fut.ThreadPoolExecutor(
+                    max_workers=_n_host_workers()) as host_pool:
+            with profiling.trace("align/overlap"):
+                futs = [dev_pool.submit(run_chunk, *t) for t in tasks]
+                futs += [host_pool.submit(run_host_block, b)
+                         for b in host_blocks]
+                for f in futs:
+                    f.result()
+
     # band-escape retries: fall back to the host path with widening
     for i in retry:
         results[i] = _align_pairs_np([pairs[i]], cfg, free_end)[0]

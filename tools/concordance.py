@@ -164,15 +164,21 @@ def parse_ref_groups(group_dir: str) -> list[dict]:
                 continue
             gid, cnt = int(head[0]), int(head[1])
             sigs = []
+            kind = None
             for _ in range(cnt):
                 c = lines[i].split("\t")
                 i += 1
                 typ = int(c[12])
-                kind = "DEL" if typ == 0 else "INS"
+                k = "DEL" if typ == 0 else "INS" if typ == 6 else None
+                if k is None:
+                    continue
+                kind = k
                 sfrom, sto = int(c[7]), int(c[8])
                 qfrom, qto = int(c[2]), int(c[3])
                 length = (sto - sfrom) if kind == "DEL" else (qto - qfrom)
                 sigs.append(dict(sfrom=sfrom, length=length))
+            if not sigs:
+                continue
             groups.append(dict(sid=sid, gid=gid, kind=kind, sigs=sigs))
     return groups
 
@@ -222,8 +228,7 @@ def compare_groups(ref_groups: list[dict], our_groups,
                    pos_tol: int = 100) -> dict:
     """Match groups per (sid, kind) by member-signature overlap: a ref
     member matches an our member at |sfrom| <= tol and similar length;
-    a group pair matches when >= half of the smaller side's members
-    pair up."""
+    a group pair matches when the member Jaccard index is >= 1/3."""
     ours = [dict(sid=g.subject_id, kind=g.kind,
                  sigs=[dict(sfrom=s.sfrom, length=s.length)
                        for s in g.sigs], used=False)
@@ -270,14 +275,14 @@ def compare_cns(ref_cns: list[dict], our_corrected) -> dict:
         ours.setdefault(_base_name(cr.name), []).append(len(cr.seq))
     matched = 0
     len_ratios = []
-    used = set()
     for r in ref_cns:
         lens = ours.get(r["base"])
         if lens:
             matched += 1
-            used.add(r["base"])
-            len_ratios.append(min(lens[0], r["length"])
-                              / max(1, max(lens[0], r["length"])))
+            # best-matching length among same-base corrected reads
+            best = max(min(ln, r["length"]) / max(1, max(ln, r["length"]))
+                       for ln in lens)
+            len_ratios.append(best)
     n_ours = sum(len(v) for v in ours.values())
     return {"ref_cns": len(ref_cns), "our_cns": n_ours, "matched": matched,
             "ref_recall": matched / max(1, len(ref_cns)),
@@ -292,17 +297,21 @@ def compare_sam(ref_sam: list[dict], our_remapped, snames,
     ours = {}
     for rr in our_remapped:
         ours.setdefault(_base_name(rr.name), []).append(
-            (snames[rr.subject_id], rr.pos))
+            [snames[rr.subject_id], rr.pos, False])
     matched = 0
     for r in ref_sam:
-        for sname, pos in ours.get(r["base"], ()):
-            if sname == r["rname"] and abs(pos - r["pos"]) <= pos_tol:
+        for ent in ours.get(r["base"], ()):
+            sname, pos, taken = ent
+            if (not taken and sname == r["rname"]
+                    and abs(pos - r["pos"]) <= pos_tol):
+                ent[2] = True
                 matched += 1
                 break
     n_ours = sum(len(v) for v in ours.values())
+    n_used = sum(1 for v in ours.values() for ent in v if ent[2])
     return {"ref_sam": len(ref_sam), "our_sam": n_ours, "matched": matched,
             "ref_recall": matched / max(1, len(ref_sam)),
-            "our_precision": min(1.0, matched / max(1, n_ours))}
+            "our_precision": n_used / max(1, n_ours)}
 
 
 def read_fasta_records(path: str) -> list[tuple[str, str]]:
@@ -391,6 +400,10 @@ def compare_signatures(ref_sigs: list[dict], our_sigs: list[dict],
 def one_seed(seed: int, args, bin_dir: str) -> dict:
     wrk = os.path.join(args.out, f"seed{seed}")
     refw = os.path.join(wrk, "ref")
+    # stale .created/.corrected markers from a previous --out reuse would
+    # turn the reference stages into no-ops (same fix as ref_baseline.py)
+    if os.path.isdir(refw):
+        shutil.rmtree(refw)
     os.makedirs(refw, exist_ok=True)
     rng = np.random.default_rng(seed)
     genome = random_genome(rng, args.genome)

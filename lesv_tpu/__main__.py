@@ -59,6 +59,17 @@ def parse_cfg(path: str) -> dict[str, str]:
     return out
 
 
+def parse_datasize(s: str) -> int:
+    """Reference datasize strings: '2g', '500m', '8k' or plain ints
+    (NStr::StringToUInt8_DataSize semantics for the suffixes used in the
+    published configs, README.md:138,164)."""
+    s = s.strip().lower()
+    mult = {"k": 10**3, "m": 10**6, "g": 10**9, "t": 10**12}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
 def build_config(kv: dict[str, str]):
     from lesv_tpu.config import LesvConfig
 
@@ -78,8 +89,9 @@ def build_config(kv: dict[str, str]):
     if kv.get("SVSIG_MIN_INDEL_SIZE"):
         cfg.sv_sig.min_indel_size = int(kv["SVSIG_MIN_INDEL_SIZE"])
     # MAP_OPTIONS: reference-style flags, e.g. "-kmer_size 19 -kmer_window 20"
-    opts = kv.get("MAP_OPTIONS", "").split()
+    opts = kv.get("MAP_OPTIONS", "").strip("\"'").split()
     flag_map = {
+        # flag surface mirrors `app/map/cmdline_args.cpp:15-89`
         "-kmer_size": ("index", "kmer_size", int),
         "-kmer_window": ("index", "kmer_window", int),
         "-max_kmer_occ": ("index", "max_kmer_occ", int),
@@ -87,15 +99,44 @@ def build_config(kv: dict[str, str]):
         "-max_hsps": ("map", "max_hsps", int),
         "-qcov_hsp_res": ("map", "qcov_hsp_res", int),
         "-perc_identity": ("map", "perc_identity", float),
+        "-min_query_size": ("map", "min_query_size", int),
+        "-query_batch_size": ("map", "query_batch_size", parse_datasize),
+        "-max_query_vol_res": ("map", "max_query_vol_res", parse_datasize),
+        "-max_subject_vol_res": ("map", "max_subject_vol_res",
+                                 parse_datasize),
+        "-memsc_kmer_size": ("memsc", "kmer_size", int),
+        "-memsc_kmer_window": ("memsc", "kmer_window", int),
+        "-memsc_mem_score": ("memsc", "mem_score", int),
+        "-num_threads": (None, "num_threads", int),
     }
+    # boolean flags (no value operand)
+    bool_map = {
+        "-skip_memsc": ("memsc", "skip_memsc"),
+    }
+    # accepted but meaningless here (no separate db-build step to keep,
+    # multi-node sharding is `parallel.dist`, outfmt fixed by the stage)
+    noop_value = {"-grid", "-outfmt", "-db_dir", "-block_size",
+                  "-min_ddfs", "-memsc_mem_size"}
+    noop_bool = {"-keep_db", "-cigar", "-md", "-skip_overhang"}
     i = 0
     while i < len(opts):
         f = opts[i]
         if f in flag_map and i + 1 < len(opts):
             sect, attr, typ = flag_map[f]
-            setattr(getattr(cfg, sect), attr, typ(opts[i + 1]))
+            tgt = getattr(cfg, sect) if sect else cfg
+            setattr(tgt, attr, typ(opts[i + 1]))
+            i += 2
+        elif f in bool_map:
+            sect, attr = bool_map[f]
+            setattr(getattr(cfg, sect), attr, True)
+            i += 1
+        elif f in noop_bool:
+            i += 1
+        elif f in noop_value and i + 1 < len(opts):
             i += 2
         else:
+            print(f"lesv_tpu: warning: unknown MAP_OPTIONS flag {f!r} "
+                  "ignored", file=sys.stderr)
             i += 1
     return cfg
 

@@ -98,6 +98,12 @@ class MapConfig:
     subseq_margin_factor: float = 1.3  # window = 1.3x qlen (`hbn_find_subseq_hit.c:119-156`)
     subseq_max_gap: int = 30_000       # +<=30kb margin
     min_query_size: int = 0
+    # out-of-core volume partitioning (reference `app/map/main.c:40-70`,
+    # `makehbndb.c:20-26`): subject volumes bound index memory; query
+    # batching bounds in-flight seed-match memory
+    max_subject_vol_res: int = 4_000_000_000   # -max_subject_vol_res (4g)
+    max_query_vol_res: int = 4_000_000_000     # -max_query_vol_res
+    query_batch_size: int = 500_000_000        # -query_batch_size (500m)
     # reads per map_batch: large batches amortize per-dispatch transport
     # (inner device calls chunk at 64 reads / pairs regardless)
     batch_reads: int = 512
@@ -110,6 +116,19 @@ class MapConfig:
     # ~5k matches; near-perfect reads can overflow and fall back)
     seed_match_budget: int = 16384
     pair_match_budget: int = 8192
+
+
+@dataclass
+class MemScConfig:
+    """Second-stage (memsc) pairwise re-seeding inside candidate windows
+    (reference `init_hit_finder.c:26-27`, defaults
+    `app/map/cmdline_args.cpp:48-57`)."""
+
+    kmer_size: int = 10      # -memsc_kmer_size (kDfltMemScKmerSize)
+    kmer_window: int = 10    # -memsc_kmer_window (query-side stride)
+    mem_score: int = 30      # -memsc_mem_score (min chain score)
+    max_occ: int = 8         # kMaxWordOcc / kMaxSeedOcc
+    skip_memsc: bool = False  # -skip_memsc: extend straight from DDF chains
 
 
 @dataclass
@@ -198,6 +217,7 @@ class LesvConfig:
     chain: ChainConfig = field(default_factory=ChainConfig)
     align: AlignConfig = field(default_factory=AlignConfig)
     map: MapConfig = field(default_factory=MapConfig)
+    memsc: MemScConfig = field(default_factory=MemScConfig)
     sv_read: SvReadConfig = field(default_factory=SvReadConfig)
     sv_sig: SvSigConfig = field(default_factory=SvSigConfig)
     group: GroupConfig = field(default_factory=GroupConfig)

@@ -70,27 +70,38 @@ class KmerIndex:
     subject_starts: np.ndarray  # int64 per-subject global start offsets
 
     @classmethod
-    def build(cls, store: SeqStore, cfg: IndexConfig | None = None) -> "KmerIndex":
+    def build(cls, store: SeqStore, cfg: IndexConfig | None = None,
+              sid_range: tuple[int, int] | None = None) -> "KmerIndex":
+        """Build over all subjects, or over subject ids [lo, hi) when
+        ``sid_range`` is given (one reference *volume*,
+        `app/hbndb/makehbndb.c:20-26`): positions and subject_starts are
+        then volume-local (rebased to store.starts[lo]), bounding both
+        RSS and the uint32 position range to the volume size."""
         cfg = cfg or IndexConfig()
         k, w, max_occ = cfg.kmer_size, cfg.kmer_window, cfg.max_kmer_occ
         from lesv_tpu import native
 
+        lo, hi = sid_range if sid_range else (0, store.num_seqs)
+        base = int(store.starts[lo])
         all_h: list[np.ndarray] = []
         all_p: list[np.ndarray] = []
-        for sid in range(store.num_seqs):
+        for sid in range(lo, hi):
             codes = store.get(sid)
-            got = native.kmer_scan(codes, k, w, int(store.starts[sid]))
+            got = native.kmer_scan(codes, k, w,
+                                   int(store.starts[sid]) - base)
             if got is not None:
                 hv, pv = got
             else:
                 offs, hv = kmer_hashes(codes, k, stride=w)
                 keep = hv >= 0
                 hv = hv[keep]
-                pv = (offs[keep] + int(store.starts[sid])).astype(np.uint32)
+                pv = (offs[keep] + int(store.starts[sid])
+                      - base).astype(np.uint32)
             all_h.append(hv)
             all_p.append(pv)
         h = np.concatenate(all_h) if all_h else np.empty(0, np.int64)
         p = np.concatenate(all_p) if all_p else np.empty(0, np.uint32)
+        del all_h, all_p
         # sort by (hash, position): p is globally ascending here (subjects
         # appended in start order, offsets ascending within each), so a
         # STABLE sort by hash alone leaves positions ascending per group.
@@ -108,7 +119,8 @@ class KmerIndex:
         new_start = np.zeros(len(uniq_k) + 1, dtype=np.int64)
         np.cumsum(counts_k, out=new_start[1:])
         return cls(k=k, window=w, uniq_hash=uniq_k, start=new_start,
-                   positions=p, subject_starts=store.starts.copy())
+                   positions=p,
+                   subject_starts=store.starts[lo : hi + 1] - base)
 
     @property
     def num_kmers(self) -> int:

@@ -35,7 +35,8 @@ from lesv_tpu.ops.align_np import (
     extension_align,
 )
 
-_BACKEND = os.environ.get("LESV_TPU_BACKEND", "jax")
+def _backend_env() -> str:
+    return os.environ.get("LESV_TPU_BACKEND", "jax")
 
 
 def _lanes_for(Q: int, W: int) -> int:
@@ -112,8 +113,9 @@ def _bucket_of(lq: int, ls: int, q2) -> tuple[int, int, int, str]:
 
 
 def _pick_backend() -> str:
-    if _BACKEND in ("np", "native", "jax"):
-        return _BACKEND
+    be = _backend_env()
+    if be in ("np", "native", "jax"):
+        return be
     # auto: the XLA:CPU scan path is ~100x slower per cell than the
     # native C++ fill; use native on CPU, the device kernel on TPU
     from lesv_tpu import native as _nat
@@ -339,7 +341,12 @@ def _align_pairs_jax(pairs, cfg, free_end):
             b = _bucket_of(lq, ls, q2)
         buckets.setdefault(b, []).append(i)
 
-    devices = _fill_devices()
+    from lesv_tpu.parallel import mesh as meshmod
+
+    # with an active mesh the fill itself shards each chunk over all
+    # devices (one SPMD program); round-robin only without one
+    mesh_on = meshmod.active_mesh() is not None
+    devices = [None] if mesh_on else _fill_devices()
     lock = _threading.Lock()
     retry: list[int] = []
 

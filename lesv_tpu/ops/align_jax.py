@@ -346,7 +346,40 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
         a = jnp.asarray(x)
         return jax.device_put(a, device) if device is not None else a
 
-    if _use_pallas(B, q.shape[1], s.shape[1], W, free_end):
+    use_p = _use_pallas(B, q.shape[1], s.shape[1], W, free_end)
+    import os
+
+    interp = os.environ.get("LESV_TPU_PALLAS") == "interp"
+    mesh = None
+    if device is None:
+        from lesv_tpu.parallel import mesh as meshmod
+
+        mesh = meshmod.active_mesh()
+    if mesh is not None and B >= mesh.size:
+        # production multi-device path: the chunk is ONE SPMD program,
+        # batch sharded over the mesh (shard_map; replaces round-robin)
+        mult = mesh.size * (8 if use_p else 1)
+        Bp = -(-B // mult) * mult
+        if Bp != B:
+            q = np.pad(q, ((0, Bp - B), (0, 0)))
+            s = np.pad(s, ((0, Bp - B), (0, 0)))
+            qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
+            slen = np.pad(slen, (0, Bp - B), constant_values=1)
+        dirs, score, end_i, end_b, ok = meshmod.mesh_fill(
+            mesh, jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
+            jnp.asarray(slen), W, mode, cfg, free_end, use_p,
+            interpret=interp)
+        if Bp != B:
+            ok = ok & (jnp.arange(Bp) < B)
+        if use_p:
+            layout = "rwb"
+            Bs2 = dirs.shape[2]
+            dirs = dirs[: min(Rq, dirs.shape[0])]   # rows not sharded
+        else:
+            layout = "lane"
+            Bs2 = dirs.shape[0]
+            dirs = dirs[:, : min(Rq, dirs.shape[1])]
+    elif use_p:
         from lesv_tpu.ops.align_pallas import pallas_banded_align_kernel
 
         Bp = -(-B // 8) * 8
@@ -355,12 +388,9 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
             s = np.pad(s, ((0, Bp - B), (0, 0)))
             qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
             slen = np.pad(slen, (0, Bp - B), constant_values=1)
-        import os
-
         dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
             put(q), put(s), put(qlen), put(slen), W, mode, cfg,
-            free_end=free_end,
-            interpret=os.environ.get("LESV_TPU_PALLAS") == "interp")
+            free_end=free_end, interpret=interp)
         layout = "rwb"
         if Bp != B:
             ok = ok & (jnp.arange(Bp) < B)

@@ -81,6 +81,14 @@ def anchored_align_many(
     plans: list[list[tuple[str, object]] | None] = []
     for ti, (q, s, anchors, k) in enumerate(tasks):
         runs = sanitize_anchors(anchors, k)
+        if len(runs):
+            # guard: a run must not overrun either sequence (a k larger
+            # than the seeds' true k would otherwise walk off the ends)
+            runs = runs.copy()
+            runs[:, 2] = np.minimum(
+                runs[:, 2],
+                np.minimum(len(q) - runs[:, 0], len(s) - runs[:, 1]))
+            runs = runs[runs[:, 2] > 0]
         runs_all.append(runs)
         if len(runs) == 0:
             plans.append(None)

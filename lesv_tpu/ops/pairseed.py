@@ -22,7 +22,7 @@ from lesv_tpu.ops.chain import Chain, extract_chains_np
 def pair_seeds(
     q: np.ndarray,
     s: np.ndarray,
-    k: int = 12,
+    k: int = 10,   # kDfltMemScKmerSize (cmdline_args.cpp:49)
     q_stride: int = 10,
     max_occ: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -78,7 +78,7 @@ def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
 def pair_chains(
     q: np.ndarray,
     s: np.ndarray,
-    k: int = 12,
+    k: int = 10,   # kDfltMemScKmerSize (cmdline_args.cpp:49)
     q_stride: int = 10,
     max_occ: int = 8,
     min_score: int = 30,

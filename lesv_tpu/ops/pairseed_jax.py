@@ -127,7 +127,7 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
 
 def pair_matches_batch(
     pairs: list[tuple[np.ndarray, np.ndarray]],
-    k: int = 12,
+    k: int = 10,   # kDfltMemScKmerSize (cmdline_args.cpp:49)
     q_stride: int = 10,
     max_occ: int = 8,
     M: int = 8192,

@@ -73,24 +73,30 @@ class JaxExchange(Exchange):
         self._pid = jax.process_index()
         self._n = jax.process_count()
 
+    @staticmethod
+    def pad_to(payload: bytes, maxlen: int) -> np.ndarray:
+        buf = np.zeros(maxlen, np.uint8)
+        buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+        return buf
+
+    @staticmethod
+    def unpad(gathered: np.ndarray, lens: np.ndarray,
+              n_hosts: int) -> list[bytes]:
+        g = np.asarray(gathered).reshape(n_hosts, -1)
+        lens = np.asarray(lens).reshape(-1)
+        return [g[i, : int(lens[i])].tobytes() for i in range(n_hosts)]
+
     def allgather(self, payload: bytes) -> list[bytes]:
-        import jax
         import jax.numpy as jnp
         from jax.experimental import multihost_utils
 
         # length-prefix and pad to the max length across hosts
-        n = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
         lens = multihost_utils.process_allgather(
             jnp.asarray([len(payload)], jnp.int64))
         maxlen = int(np.max(lens))
-        buf = np.zeros(maxlen, np.uint8)
-        buf[: len(payload)] = np.frombuffer(payload, np.uint8)
-        gathered = multihost_utils.process_allgather(jnp.asarray(buf))
-        out = []
-        g = np.asarray(gathered).reshape(self._n, maxlen)
-        for i in range(self._n):
-            out.append(g[i, : int(lens.reshape(-1)[i])].tobytes())
-        return out
+        gathered = multihost_utils.process_allgather(
+            jnp.asarray(self.pad_to(payload, maxlen)))
+        return self.unpad(gathered, lens, self._n)
 
     @property
     def host_id(self) -> int:
@@ -249,6 +255,34 @@ class SimExchange(Exchange):
     @property
     def n_hosts(self) -> int:
         return self._n_hosts
+
+
+class PaddedSimExchange(Exchange):
+    """A JaxExchange-shaped fake: routes every payload through the SAME
+    length-prefix + pad-to-max + unpad path as the DCN exchange
+    (JaxExchange.pad_to/unpad), with a SimExchange as the transport —
+    so the padding logic is exercised without jax.distributed."""
+
+    def __init__(self, base: "SimExchange"):
+        self._base = base
+
+    def allgather(self, payload: bytes) -> list[bytes]:
+        lens_b = self._base.allgather(
+            np.int64(len(payload)).tobytes())
+        lens = np.array([np.frombuffer(b, np.int64)[0] for b in lens_b])
+        maxlen = int(lens.max())
+        buf = JaxExchange.pad_to(payload, maxlen)
+        gathered_b = self._base.allgather(buf.tobytes())
+        stack = np.stack([np.frombuffer(b, np.uint8) for b in gathered_b])
+        return JaxExchange.unpad(stack, lens, self.n_hosts)
+
+    @property
+    def host_id(self) -> int:
+        return self._base.host_id
+
+    @property
+    def n_hosts(self) -> int:
+        return self._base.n_hosts
 
 
 class _NeedMoreHosts(Exception):

@@ -38,6 +38,110 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+# -- production-path mesh context -------------------------------------------
+# `use_mesh` makes the pipeline's device dispatches (the alignment fill,
+# ops/align_jax.banded_align_dispatch) shard their batches over the mesh
+# instead of round-robining whole chunks across devices — the whole
+# mapping is then one SPMD program per chunk (`app/map/main.c:35-55`'s
+# sharding done by the XLA partitioner).
+
+import contextlib
+
+_ACTIVE: list[Mesh] = []
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh):
+    _ACTIVE.append(mesh)
+    try:
+        yield mesh
+    finally:
+        _ACTIVE.pop()
+
+
+def active_mesh() -> Mesh | None:
+    import os
+
+    if os.environ.get("LESV_TPU_MESH", "auto") == "0":
+        return None
+    if _ACTIVE:
+        return _ACTIVE[-1]
+    return _auto_mesh()
+
+
+def _auto_mesh() -> Mesh | None:
+    """A mesh over all local devices when more than one real chip is
+    present (the production multi-chip path without explicit opt-in).
+    Virtual CPU meshes must opt in via `use_mesh` (tests)."""
+    global _AUTO
+    if _AUTO is _UNSET:
+        devs = jax.local_devices()
+        _AUTO = (make_mesh(len(devs))
+                 if len(devs) > 1 and jax.default_backend() != "cpu"
+                 else None)
+    return _AUTO
+
+
+_UNSET = object()
+_AUTO: Mesh | None | object = _UNSET
+
+
+def _fill_out_specs(axis: str, pallas_layout: bool):
+    """Out specs for the fill kernel: dirs batch axis differs by kernel
+    ((R, W, B) from Pallas, (B, R, W) from the XLA scan)."""
+    dirs = P(None, None, axis) if pallas_layout else P(axis, None, None)
+    return (dirs, P(axis), P(axis), P(axis), P(axis))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _sharded_fill(mesh: Mesh, W: int, mode: str, free_end: bool,
+                  cfg_key: tuple, use_pallas: bool, interpret: bool):
+    """Cached jitted shard_map of the banded fill over ``mesh`` — the
+    production fill path when >1 device is visible (batch sharded on
+    'data', all scalars/params static)."""
+    from jax.experimental.shard_map import shard_map
+
+    cfg = AlignConfig(**dict(cfg_key))
+    axis = mesh.axis_names[0]
+
+    def local(q, s, qlen, slen):
+        if use_pallas:
+            from lesv_tpu.ops.align_pallas import (
+                pallas_banded_align_kernel,
+            )
+
+            return pallas_banded_align_kernel(
+                q, s, qlen, slen, W, mode, cfg, free_end=free_end,
+                interpret=interpret)
+        return banded_align_kernel(q, s, qlen, slen, W, mode, cfg,
+                                   free_end=free_end)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+        out_specs=_fill_out_specs(axis, use_pallas),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def mesh_fill(mesh: Mesh, q, s, qlen, slen, W: int, mode: str,
+              cfg: AlignConfig, free_end: bool, use_pallas: bool,
+              interpret: bool = False):
+    """Run the banded fill sharded over ``mesh`` (batch padded to a
+    multiple of the mesh size by the caller)."""
+    cfg_key = tuple(sorted(
+        (f, getattr(cfg, f)) for f in
+        ("match", "mismatch", "gap_open1", "gap_ext1", "gap_open2",
+         "gap_ext2")))
+    fn = _sharded_fill(mesh, W, mode, free_end, cfg_key, use_pallas,
+                       interpret)
+    return fn(q, s, qlen, slen)
+
+
 def sharded_align_step(mesh: Mesh, W: int, mode: str,
                        cfg: AlignConfig | None = None):
     """Build a jitted, mesh-sharded alignment-fill step.

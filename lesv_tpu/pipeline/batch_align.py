@@ -18,14 +18,41 @@ from lesv_tpu.ops.pairseed import pair_chains
 
 
 def _pair_chain_cfg(cfg: LesvConfig):
-    """ChainConfig with pair-seeding semantics (min_cnt=1, min_score=30,
-    `init_hit_finder.c:26-27`)."""
+    """ChainConfig with pair-seeding semantics (min_cnt=1,
+    min_score=memsc_mem_score, `init_hit_finder.c:26-27`,
+    `cmdline_args.cpp:56-57`)."""
     import dataclasses
 
     c = dataclasses.replace(cfg.chain)
     c.min_seed_cnt = 1
-    c.min_chain_score = 30
+    c.min_chain_score = cfg.memsc.mem_score
     return c
+
+
+def _host_route_pairs(pairs, on_cpu: bool) -> set[int]:
+    """Pairs to seed+chain on the host instead of the device.
+
+    On a tunneled chip each (pairseed + chain) chunk costs ~2 RTTs
+    (seconds); the host oracle does a small pair in ~1-3 ms (numpy
+    merge-join + native chain DP), so short pairs route to a host
+    thread pool (same rationale as ops.align_batch._host_route)."""
+    import os
+
+    mode = os.environ.get("LESV_TPU_HOST_SMALL", "auto")
+    if mode == "0" or (mode == "auto" and on_cpu):
+        return set()
+    cap = int(os.environ.get("LESV_TPU_HOST_PAIR_CAP", 16384))
+    budget = float(os.environ.get("LESV_TPU_HOST_PAIR_BUDGET", 2e8))
+    costed = sorted((len(q) + len(s), i) for i, (q, s) in enumerate(pairs)
+                    if 0 < len(q) + len(s) <= cap)
+    out: set[int] = set()
+    tot = 0.0
+    for c, i in costed:
+        if tot + c > budget:
+            break
+        tot += c
+        out.add(i)
+    return out
 
 
 def _shrink_M(total: np.ndarray, M: int, lo: int = 256) -> int:
@@ -43,7 +70,7 @@ def _shrink_M(total: np.ndarray, M: int, lo: int = 256) -> int:
 def batch_pair_chains(
     pairs: list[tuple[np.ndarray, np.ndarray]],
     cfg: LesvConfig,
-    k: int = 12,
+    k: int | None = None,
 ) -> list[list[Chain]]:
     """Chains for many (q, s) pairs in one sweep.
 
@@ -51,8 +78,15 @@ def batch_pair_chains(
     when cfg.map.engine == "device"; the per-pair host oracle otherwise.
     Lanes whose true match count exceeds the budget fall back to the
     host oracle (identical semantics either way)."""
+    k = k or cfg.memsc.kmer_size
+    stride, occ = cfg.memsc.kmer_window, cfg.memsc.max_occ
+
+    def host_chains(q, s):
+        return pair_chains(q, s, k=k, q_stride=stride, max_occ=occ,
+                           min_score=cfg.memsc.mem_score, cfg=cfg.chain)
+
     if cfg.map.engine != "device":
-        return [pair_chains(q, s, k=k, cfg=cfg.chain) for q, s in pairs]
+        return [host_chains(q, s) for q, s in pairs]
 
     from lesv_tpu.ops.chain_jax import chain_lanes
     from lesv_tpu.ops.pairseed_jax import pair_matches_batch
@@ -60,41 +94,73 @@ def batch_pair_chains(
 
     import jax
 
-    import jax.numpy as jnp
-
     pcfg = _pair_chain_cfg(cfg)
     out: list[list[Chain]] = [[] for _ in pairs]
+    on_cpu = jax.default_backend() == "cpu"
+    hosted = _host_route_pairs(pairs, on_cpu)
     # coarse shape quantization on TPU (every (B, Qb, Sb) is a separate
     # executable; loading one through the tunnel costs seconds)
-    q2 = (_quant_dim if jax.default_backend() != "cpu"
-          else _pad_pow2_dim)
+    q2 = _quant_dim if not on_cpu else _pad_pow2_dim
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, (q, s) in enumerate(pairs):
-        if len(q) < k or len(s) < k:
+        if len(q) < k or len(s) < k or i in hosted:
             continue
         buckets.setdefault((q2(len(q)), q2(len(s))), []).append(i)
     M = cfg.map.pair_match_budget
+
+    def run_chunk(cidx, Qb, Sb):
+        chunk = [pairs[i] for i in cidx]
+        with profiling.trace("pairseed_device"):
+            qoff, soff, valid, total = pair_matches_batch(
+                chunk, k=k, q_stride=stride, max_occ=occ, M=M,
+                Qb=Qb, Sb=Sb)
+        # valid slots are a prefix (the expansion fills 0..total-1):
+        # the chain DP only needs pow2(max total) slots — usually
+        # far fewer scan steps than the full budget.  Buffers stay
+        # on device end to end (slices are lazy device ops).
+        Mp = _shrink_M(total, M)
+        with profiling.trace("pairchain_device"):
+            lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
+                                valid[:, :Mp], k, pcfg,
+                                J=cfg.chain.lookback)
+        for j, i in enumerate(cidx):
+            if total[j] > M:
+                out[i] = host_chains(*pairs[i])
+            else:
+                out[i] = lanes[j]
+
+    def run_host_block(idxs):
+        for i in idxs:
+            out[i] = host_chains(*pairs[i])
+
+    tasks = []
     for (Qb, Sb), idxs in sorted(buckets.items()):
         for start in range(0, len(idxs), 64):
-            cidx = idxs[start : start + 64]
-            chunk = [pairs[i] for i in cidx]
-            with profiling.trace("pairseed_device"):
-                qoff, soff, valid, total = pair_matches_batch(
-                    chunk, k=k, M=M, Qb=Qb, Sb=Sb)
-            # valid slots are a prefix (the expansion fills 0..total-1):
-            # the chain DP only needs pow2(max total) slots — usually
-            # far fewer scan steps than the full budget.  Buffers stay
-            # on device end to end (slices are lazy device ops).
-            Mp = _shrink_M(total, M)
-            with profiling.trace("pairchain_device"):
-                lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
-                                    valid[:, :Mp], k, pcfg,
-                                    J=cfg.chain.lookback)
-            for j, i in enumerate(cidx):
-                if total[j] > M:
-                    out[i] = pair_chains(*pairs[i], k=k, cfg=cfg.chain)
-                else:
-                    out[i] = lanes[j]
+            tasks.append((idxs[start : start + 64], Qb, Sb))
+    hs = sorted(hosted)
+    host_blocks = [hs[i : i + 64] for i in range(0, len(hs), 64)]
+
+    from lesv_tpu.ops.align_batch import (
+        _n_dispatch_workers,
+        _n_host_workers,
+    )
+
+    nd = _n_dispatch_workers(on_cpu)
+    if nd <= 1 and not host_blocks:
+        for t in tasks:
+            run_chunk(*t)
+    else:
+        import concurrent.futures as _fut
+
+        with _fut.ThreadPoolExecutor(max_workers=max(nd, 2)) as dev_pool, \
+                _fut.ThreadPoolExecutor(
+                    max_workers=_n_host_workers()) as host_pool:
+            with profiling.trace("pairchain/overlap"):
+                futs = [dev_pool.submit(run_chunk, *t) for t in tasks]
+                futs += [host_pool.submit(run_host_block, b)
+                         for b in host_blocks]
+                for f in futs:
+                    f.result()
     return out
 
 
@@ -117,9 +183,10 @@ def chain_and_align_many(
     pairs: list[tuple[np.ndarray, np.ndarray]],
     cfg: LesvConfig,
     extend: bool = True,
-    k: int = 12,
+    k: int | None = None,
 ) -> list[Alignment | None]:
     """Best-chain anchored alignment for each (q, s) pair, batched."""
+    k = k or cfg.memsc.kmer_size
     all_chains = batch_pair_chains(pairs, cfg, k=k)
     tasks = []
     mapping = []

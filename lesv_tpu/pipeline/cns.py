@@ -211,7 +211,8 @@ def _run_round(
             chunk = first_chunk if st.pos == 0 else next_chunk
             for idx in range(st.pos, min(st.pos + chunk, len(st.cands))):
                 j, chain, sdir, q = st.cands[idx]
-                tasks.append((q, tmpl_seq, chain.anchors, 12))
+                tasks.append((q, tmpl_seq, chain.anchors,
+                              cfg.memsc.kmer_size))
                 owners.append((st, idx))
         alns = anchored_align_many(tasks, cfg.align)
         by_state: dict[int, dict[int, object]] = {}

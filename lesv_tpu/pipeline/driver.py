@@ -22,7 +22,7 @@ from lesv_tpu.io.vcf import VcfCall, write_vcf
 from lesv_tpu.pipeline.caller import call_svs
 from lesv_tpu.pipeline.cns import cns_groups
 from lesv_tpu.pipeline.grouping import group_signatures
-from lesv_tpu.pipeline.mapper import map_all
+from lesv_tpu.pipeline.mapper import map_all, map_all_volumes
 from lesv_tpu.pipeline.remap import remap_all
 from lesv_tpu.pipeline.signatures import extract_signatures
 from lesv_tpu.pipeline.sv_reads import TrfMask, select_sv_reads
@@ -95,7 +95,11 @@ def run_pipeline(
 
     with timed("build_ref"):
         sstore = SeqStore.from_records(ref_records)
-        index = KmerIndex.build(sstore, cfg.index)
+        # single-volume references get their index once here; larger
+        # references build one index per subject volume inside map
+        # (out-of-core loop, `app/map/main.c:40-70`)
+        multi_vol = sstore.total_res > cfg.map.max_subject_vol_res
+        index = None if multi_vol else KmerIndex.build(sstore, cfg.index)
     trf = TrfMask(sstore, trf_intervals) if trf_intervals else None
 
     with timed("split"):
@@ -107,7 +111,10 @@ def run_pipeline(
         # per-batch checkpoints: a crash mid-map resumes after the last
         # completed batch (reference per-volume merge, app/map/main.c:43-58)
         parts = os.path.join(ckpt, "map_parts") if ckpt else None
-        m4s, _ = map_all(reads, sstore, index, cfg, ckpt_dir=parts)
+        if index is None:
+            m4s, _ = map_all_volumes(reads, sstore, cfg, ckpt_dir=parts)
+        else:
+            m4s, _ = map_all(reads, sstore, index, cfg, ckpt_dir=parts)
         return m4s
 
     m4s = stage("map", _map, sio.save_m4s, sio.load_m4s)

@@ -121,6 +121,28 @@ def find_candidate_windows(
     return out
 
 
+def _window_ddf_chains(chains: list[Chain], index: KmerIndex,
+                       w: CandidateWindow) -> list[Chain]:
+    """DDF chains whose anchors fall inside window ``w``, with subject
+    offsets translated to window-local coordinates (the -skip_memsc
+    path's anchor source)."""
+    import dataclasses
+
+    base = int(index.subject_starts[w.sid])
+    lo, hi = base + w.sfrom, base + w.sto
+    out: list[Chain] = []
+    for c in chains:
+        a = c.anchors
+        keep = (a[:, 1] >= lo) & (a[:, 1] + index.k <= hi)
+        if not keep.any():
+            continue
+        a2 = a[keep].copy()
+        a2[:, 1] -= lo
+        out.append(dataclasses.replace(c, anchors=a2))
+    out.sort(key=lambda c: -c.score)
+    return out
+
+
 def _hsp_contained(kept: list[M4], m: M4, eps: int = 100) -> bool:
     for a in kept:
         if (a.qdir == m.qdir and a.sid == m.sid
@@ -217,6 +239,7 @@ def map_batch(
     # candidate windows (host, tiny); collect window re-seed tasks
     wtasks: list[tuple[np.ndarray, np.ndarray]] = []
     wmeta: list[tuple[int, int, CandidateWindow]] = []
+    wddf: list[list[Chain]] = []   # DDF chains per window (skip_memsc)
     with profiling.trace("map/windows"):
         for (qid, read), chains_by_dir in zip(live, all_chains):
             qlen = len(read)
@@ -227,16 +250,27 @@ def map_batch(
                 q = read if w.qdir == FWD else revcomp(read)
                 wtasks.append((q, sseq))
                 wmeta.append((qid, qlen, w))
+                if cfg.memsc.skip_memsc:
+                    wddf.append(_window_ddf_chains(
+                        chains_by_dir[w.qdir], index, w))
 
-    with profiling.trace("map/window_chains"):
-        wchains_all = batch_pair_chains(wtasks, cfg)
+    if cfg.memsc.skip_memsc:
+        # -skip_memsc: extend straight from the DDF chain anchors
+        # (reference `hbn_extend_subseq_hit_diff.c` path; the re-seed
+        # stage is bypassed, SURVEY §2.3 diff-gap-align row)
+        wchains_all = wddf
+        mk = index.k
+    else:
+        with profiling.trace("map/window_chains"):
+            wchains_all = batch_pair_chains(wtasks, cfg)
+        mk = cfg.memsc.kmer_size
 
     tasks = []   # (q, sseq, anchors, k)
     meta = []    # (qid, qlen, window, chain)
     for (qid, qlen, w), (q, sseq), wchains in zip(wmeta, wtasks,
                                                   wchains_all):
         for c in wchains[: cfg.map.max_hsps]:
-            tasks.append((q, sseq, c.anchors, 12))
+            tasks.append((q, sseq, c.anchors, mk))
             meta.append((qid, qlen, w, c))
     with profiling.trace("map/extend"):
         alns = anchored_align_many(tasks, cfg.align)
@@ -282,38 +316,63 @@ def map_read(
     return map_batch([(qid, read)], store, index, cfg)
 
 
+def _query_batches(qstore: SeqStore, cfg: LesvConfig):
+    """Read batches bounded by count (batch_reads) AND residues
+    (-query_batch_size, `hbn_align_one_volume.c:55-83`): bounds in-flight
+    seed-match memory for long-read sets."""
+    B, R = cfg.map.batch_reads, cfg.map.query_batch_size
+    batch: list[int] = []
+    res = 0
+    for qid in range(qstore.num_seqs):
+        sz = qstore.seq_size(qid)
+        if batch and (len(batch) >= B or res + sz > R):
+            yield batch
+            batch, res = [], 0
+        batch.append(qid)
+        res += sz
+    if batch:
+        yield batch
+
+
 def map_all(
     reads: list[tuple[str, np.ndarray]],
     store: SeqStore,
     index: KmerIndex,
     cfg: LesvConfig | None = None,
     ckpt_dir: str | None = None,
+    qstore: SeqStore | None = None,
+    part_prefix: str = "map_part",
+    sid_base: int = 0,
 ) -> tuple[list[M4], SeqStore]:
-    """Map a list of reads; returns (all M4 records, the query store).
+    """Map a list of reads against one index; returns (M4s, query store).
 
     With ``ckpt_dir``, each read batch's M4s are checkpointed and a
     restarted run resumes after the last completed batch — the
     reference's per-(qvol, svol) `.mapped` merge-on-resume
-    (`app/map/main.c:43-58`)."""
+    (`app/map/main.c:43-58`).  ``sid_base`` translates volume-local
+    subject ids back to global ids (subject-volume loop)."""
     import os
 
     cfg = cfg or LesvConfig()
-    qstore = SeqStore.from_records(reads)
+    if qstore is None:
+        qstore = SeqStore.from_records(reads)
     out: list[M4] = []
-    B = cfg.map.batch_reads
     if ckpt_dir:
         os.makedirs(ckpt_dir, exist_ok=True)
-    for bi, start in enumerate(range(0, qstore.num_seqs, B)):
-        part = (os.path.join(ckpt_dir, f"map_part_{bi:05d}.npz")
+    vstore = store if sid_base == 0 else _VolStoreView(store, sid_base)
+    for bi, qids in enumerate(_query_batches(qstore, cfg)):
+        part = (os.path.join(ckpt_dir, f"{part_prefix}_{bi:05d}.npz")
                 if ckpt_dir else None)
         if part and os.path.exists(part):
             from lesv_tpu.pipeline import stages_io as sio
 
             out.extend(sio.load_m4s(part))
             continue
-        batch = [(qid, qstore.get(qid))
-                 for qid in range(start, min(start + B, qstore.num_seqs))]
-        m4s = map_batch(batch, store, index, cfg)
+        batch = [(qid, qstore.get(qid)) for qid in qids]
+        m4s = map_batch(batch, vstore, index, cfg)
+        if sid_base:
+            for m in m4s:
+                m.sid += sid_base
         if part:
             from lesv_tpu.pipeline import stages_io as sio
 
@@ -321,3 +380,83 @@ def map_all(
             os.replace(part + ".tmp.npz", part)
         out.extend(m4s)
     return out, qstore
+
+
+class _VolStoreView:
+    """Subject store restricted to one volume: volume-local subject ids
+    delegate to the backing store (the mapper sees the volume as the
+    whole world, `app/map/main.c:40-70`)."""
+
+    def __init__(self, store: SeqStore, lo: int):
+        self._store, self._lo = store, lo
+
+    def get(self, sid: int, *a, **kw):
+        return self._store.get(sid + self._lo, *a, **kw)
+
+    def seq_size(self, sid: int) -> int:
+        return self._store.seq_size(sid + self._lo)
+
+
+def subject_volumes(store: SeqStore, max_res: int) -> list[tuple[int, int]]:
+    """Partition subjects into volumes of <= max_res residues (whole
+    subjects; a single over-sized subject gets its own volume), the
+    reference's seqdb volume rule (`makehbndb.c:20-26`)."""
+    vols: list[tuple[int, int]] = []
+    lo = 0
+    res = 0
+    for sid in range(store.num_seqs):
+        sz = store.seq_size(sid)
+        if sid > lo and res + sz > max_res:
+            vols.append((lo, sid))
+            lo, res = sid, 0
+        res += sz
+    if lo < store.num_seqs:
+        vols.append((lo, store.num_seqs))
+    return vols
+
+
+def map_all_volumes(
+    reads: list[tuple[str, np.ndarray]],
+    store: SeqStore,
+    cfg: LesvConfig | None = None,
+    ckpt_dir: str | None = None,
+) -> tuple[list[M4], SeqStore]:
+    """Out-of-core mapping: nested subject-volume x query-batch loop.
+
+    The genome-scale path (`app/map/main.c:40-70`): subjects partition
+    into <= max_subject_vol_res volumes; each volume's k-mer index is
+    built (volume-local positions, bounded RSS), all query batches map
+    against it (checkpointed per (volume, batch)), then the index is
+    dropped before the next volume.  M4s concatenate across volumes —
+    the reference's `merge_all_vs_sj_results` file concatenation."""
+    cfg = cfg or LesvConfig()
+    vols = subject_volumes(store, cfg.map.max_subject_vol_res)
+    qstore = SeqStore.from_records(reads)
+    if len(vols) <= 1:
+        index = KmerIndex.build(store, cfg.index)
+        return map_all(reads, store, index, cfg, ckpt_dir=ckpt_dir,
+                       qstore=qstore)
+    from lesv_tpu.utils.logging import log
+
+    out: list[M4] = []
+    for vi, (lo, hi) in enumerate(vols):
+        vres = int(store.starts[hi] - store.starts[lo])
+        log(f"[map] subject volume {vi + 1}/{len(vols)}: "
+            f"subjects {lo}..{hi - 1} ({vres/1e6:.1f} Mres)")
+        index = KmerIndex.build(store, cfg.index, sid_range=(lo, hi))
+        m4s, _ = map_all(reads, store, index, cfg, ckpt_dir=ckpt_dir,
+                         qstore=qstore, part_prefix=f"map_v{vi:03d}",
+                         sid_base=lo)
+        out.extend(m4s)
+        del index
+    # per-query global ordering (score-sorted within query), matching
+    # the single-volume path's output contract
+    by_qid: dict[int, list[M4]] = {}
+    for m in out:
+        by_qid.setdefault(m.qid, []).append(m)
+    merged: list[M4] = []
+    for qid in sorted(by_qid):
+        lst = by_qid[qid]
+        lst.sort(key=lambda m: -m.score)
+        merged.extend(lst)
+    return merged, qstore

@@ -20,7 +20,6 @@ from lesv_tpu.io.seqstore import SeqStore
 from lesv_tpu.ops.align_np import OP_D, OP_I
 from lesv_tpu.ops.anchored import anchored_extend
 from lesv_tpu.ops.cigar import effective_ident_perc, ident_perc
-from lesv_tpu.ops.pairseed import pair_chains
 from lesv_tpu.pipeline.cns import CorrectedRead
 
 

@@ -115,10 +115,13 @@ def realign_span(qstore: SeqStore, sstore: SeqStore, qid: int, qdir: int,
     span (replaces `align_and_refine_subseq_with_ksw`)."""
     q = oriented_query(qstore, qid, qdir, qoff, qend)
     s = sstore.get(sid, soff, send)
-    chains = pair_chains(q, s, cfg=cfg.chain)
+    mk = cfg.memsc.kmer_size
+    chains = pair_chains(q, s, k=mk, q_stride=cfg.memsc.kmer_window,
+                         max_occ=cfg.memsc.max_occ,
+                         min_score=cfg.memsc.mem_score, cfg=cfg.chain)
     if not chains:
         return None
-    aln = anchored_extend(q, s, chains[0].anchors, k=12, cfg=cfg.align)
+    aln = anchored_extend(q, s, chains[0].anchors, k=mk, cfg=cfg.align)
     if aln is None:
         return None
     return q, s, aln

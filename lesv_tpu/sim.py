@@ -20,6 +20,8 @@ class PlantedSV:
     ref_pos: int     # position on the reference (post-normalized, 0-based)
     length: int
     seq: np.ndarray | None = None  # inserted sequence for INS
+    genotype: str = "1/1"          # "1/1" hom | "0/1" het
+    in_trf: bool = False           # planted inside a tandem-repeat array
 
 
 @dataclass
@@ -121,6 +123,97 @@ def plant_svs(
     pieces.append(ref[prev:])
     donor = np.concatenate(pieces)
     return donor, truth
+
+
+def _apply_svs(ref: np.ndarray, svs: list[PlantedSV]) -> np.ndarray:
+    """Build a haplotype from ``ref`` and sorted non-overlapping SVs."""
+    pieces = []
+    prev = 0
+    for sv in svs:
+        pieces.append(ref[prev : sv.ref_pos])
+        if sv.kind == "DEL":
+            prev = sv.ref_pos + sv.length
+        else:
+            pieces.append(sv.seq)
+            prev = sv.ref_pos
+    pieces.append(ref[prev:])
+    return np.concatenate(pieces)
+
+
+def plant_svs_diploid(
+    rng: np.random.Generator,
+    ref: np.ndarray,
+    n_sv: int = 40,
+    min_len: int = 40,
+    max_len: int = 30_000,
+    het_frac: float = 0.5,
+    trf_intervals: list[tuple[int, int]] | None = None,
+    trf_frac: float = 0.0,
+    cluster_frac: float = 0.1,
+    margin: int = 20_000,
+    min_gap: int = 8_000,
+) -> tuple[np.ndarray, np.ndarray, Truth]:
+    """Plant a het/hom DEL/INS spectrum on two haplotypes.
+
+    The F1 measurement analogue of the reference's GIAB truth sets
+    (`README.md:185-244`): lengths are log-uniform in [min_len, max_len],
+    genotypes are het (one haplotype) with probability ``het_frac``,
+    ``trf_frac`` of events land inside given tandem-repeat intervals, and
+    ``cluster_frac`` of events get a nearby (~2-5kb) partner event.
+    Returns (hap1, hap2, truth); truth SVs carry genotype + in_trf.
+    """
+    n = len(ref)
+    lo, hi = np.log(min_len), np.log(max_len)
+
+    def draw_len() -> int:
+        return int(np.exp(rng.uniform(lo, hi)))
+
+    # occupied reference intervals (pos, end) incl. DEL spans + padding
+    occ: list[tuple[int, int]] = []
+
+    def free(p: int, L: int, pad: int) -> bool:
+        if p < margin or p + L > n - margin:
+            return False
+        return all(p + L + pad <= a or b + pad <= p for a, b in occ)
+
+    planned: list[PlantedSV] = []
+    trf_iv = [iv for iv in (trf_intervals or []) if iv[1] - iv[0] > 200]
+    tries = 0
+    while len(planned) < n_sv and tries < 100_000:
+        tries += 1
+        kind = "DEL" if rng.random() < 0.5 else "INS"
+        L = draw_len()
+        span = L if kind == "DEL" else 0
+        in_trf = bool(trf_iv) and rng.random() < trf_frac
+        if in_trf:
+            a, b = trf_iv[int(rng.integers(len(trf_iv)))]
+            if b - a <= span + 2:
+                continue
+            p = int(rng.integers(a, max(a + 1, b - span)))
+        else:
+            p = int(rng.integers(margin, n - margin - span))
+        pad = min_gap if rng.random() >= cluster_frac or not planned else \
+            int(rng.integers(2_000, 5_000))
+        if pad < min_gap:
+            # clustered partner: place near the most recent event
+            prev = planned[-1]
+            pspan = prev.length if prev.kind == "DEL" else 0
+            p = prev.ref_pos + pspan + pad
+            in_trf = any(a <= p < b for a, b in trf_iv)
+        if not free(p, span, 2_000 if pad < min_gap else min_gap):
+            continue
+        seq = rng.integers(0, 4, L).astype(np.uint8) if kind == "INS" else None
+        gt = "0/1" if rng.random() < het_frac else "1/1"
+        planned.append(PlantedSV(kind, p, L, seq, gt, in_trf))
+        occ.append((p, p + span))
+    planned.sort(key=lambda s: s.ref_pos)
+    truth = Truth(svs=planned)
+    hap1_svs = [s for s in planned
+                if s.genotype == "1/1" or rng.random() < 0.5]
+    hap1_set = {id(s) for s in hap1_svs}
+    hap2_svs = [s for s in planned
+                if s.genotype == "1/1" or id(s) not in hap1_set]
+    return _apply_svs(ref, hap1_svs), _apply_svs(ref, hap2_svs), truth
 
 
 def mutate_read(rng: np.random.Generator, seq: np.ndarray,

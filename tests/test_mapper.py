@@ -126,3 +126,64 @@ def test_ultra_long_read_split_and_map():
     assert spans[0][0] < spans[1][0] < spans[2][0]
     assert 25_000 < spans[0][0] < 35_000
     assert 145_000 < spans[2][1] < 155_000
+
+
+def test_map_all_volumes_matches_single_volume(tmp_path):
+    """The subject-volume loop (map_all_volumes) produces the same M4 set
+    as a single monolithic index (reference `app/map/main.c:40-70`:
+    per-volume mapping merged by file concatenation), and resumes from
+    per-(volume, batch) checkpoints."""
+    import os
+
+    from lesv_tpu.pipeline.mapper import map_all_volumes, subject_volumes
+
+    rng = np.random.default_rng(11)
+    chroms = [(f"chr{i}", random_genome(rng, 30_000)) for i in range(4)]
+    store = SeqStore.from_records(chroms)
+    cfg = LesvConfig()
+    cfg.map.engine = "host"
+    reads = []
+    for i in range(8):
+        ci = int(rng.integers(0, 4))
+        start = int(rng.integers(0, 20_000))
+        frag = chroms[ci][1][start : start + int(rng.integers(4000, 9000))]
+        reads.append((f"r{i}", mutate_read(rng, frag, err=0.05)))
+
+    index = KmerIndex.build(store, cfg.index)
+    mono, _ = map_all(reads, store, index, cfg)
+
+    cfg.map.max_subject_vol_res = 65_000   # -> 2 volumes of 2 chroms
+    assert subject_volumes(store, 65_000) == [(0, 2), (2, 4)]
+    ck = str(tmp_path / "vparts")
+    vols, _ = map_all_volumes(reads, store, cfg, ckpt_dir=ck)
+
+    key = lambda m: (m.qid, m.qdir, m.sid, m.qoff, m.qend, m.soff, m.send,
+                     m.score)
+    assert sorted(map(key, mono)) == sorted(map(key, vols))
+    # ssize must be the true per-subject size, not a volume artifact
+    assert all(m.ssize == store.seq_size(m.sid) for m in vols)
+
+    # resume: drop one volume-1 part, rerun -> identical output
+    parts = sorted(p for p in os.listdir(ck) if p.startswith("map_v001"))
+    assert parts
+    os.remove(os.path.join(ck, parts[0]))
+    vols2, _ = map_all_volumes(reads, store, cfg, ckpt_dir=ck)
+    assert sorted(map(key, vols)) == sorted(map(key, vols2))
+
+
+def test_volume_index_local_positions():
+    """A sid_range index has volume-local positions/subject_starts
+    (bounds the uint32 position space to the volume size)."""
+    rng = np.random.default_rng(3)
+    chroms = [(f"c{i}", random_genome(rng, 10_000)) for i in range(3)]
+    store = SeqStore.from_records(chroms)
+    cfg = LesvConfig()
+    idx = KmerIndex.build(store, cfg.index, sid_range=(1, 3))
+    assert idx.subject_starts[0] == 0
+    assert int(idx.subject_starts[-1]) == 20_000
+    assert idx.num_positions > 0
+    assert int(idx.positions.max()) < 20_000
+    # positions agree with a from-scratch store over the same subjects
+    solo = KmerIndex.build(SeqStore.from_records(chroms[1:]), cfg.index)
+    assert np.array_equal(idx.uniq_hash, solo.uniq_hash)
+    assert np.array_equal(idx.positions, solo.positions)

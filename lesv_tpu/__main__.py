@@ -107,6 +107,7 @@ def build_config(kv: dict[str, str]):
         "-memsc_kmer_size": ("memsc", "kmer_size", int),
         "-memsc_kmer_window": ("memsc", "kmer_window", int),
         "-memsc_mem_score": ("memsc", "mem_score", int),
+        "-memsc_mem_size": ("memsc", "mem_size", int),
         "-num_threads": (None, "num_threads", int),
     }
     # boolean flags (no value operand)
@@ -116,7 +117,7 @@ def build_config(kv: dict[str, str]):
     # accepted but meaningless here (no separate db-build step to keep,
     # multi-node sharding is `parallel.dist`, outfmt fixed by the stage)
     noop_value = {"-grid", "-outfmt", "-db_dir", "-block_size",
-                  "-min_ddfs", "-memsc_mem_size"}
+                  "-min_ddfs"}
     noop_bool = {"-keep_db", "-cigar", "-md", "-skip_overhang"}
     i = 0
     while i < len(opts):

@@ -127,6 +127,7 @@ class MemScConfig:
     kmer_size: int = 10      # -memsc_kmer_size (kDfltMemScKmerSize)
     kmer_window: int = 10    # -memsc_kmer_window (query-side stride)
     mem_score: int = 30      # -memsc_mem_score (min chain score)
+    mem_size: int = 15       # -memsc_mem_size (min maximal-match length)
     max_occ: int = 8         # kMaxWordOcc / kMaxSeedOcc
     skip_memsc: bool = False  # -skip_memsc: extend straight from DDF chains
 

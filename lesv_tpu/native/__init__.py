@@ -79,6 +79,12 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         u8p, i32p, i64p, i64p, u8p]
+    lib.stitch_core.argtypes = [
+        u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u8p, ctypes.c_int64, i64p, i64p, i64p, i64p, ctypes.c_int64,
+        i64p, i64p]
     _lib = lib
     return _lib
 
@@ -281,3 +287,39 @@ def fccns_link_dp(link_col: np.ndarray, pred_col: np.ndarray,
         np.ascontiguousarray(cov_pen, np.float64),
         n_cols, score, best_pred)
     return score, best_pred
+
+
+def stitch_core(q: np.ndarray, s: np.ndarray, runs: np.ndarray,
+                tiny_cap: int, match: int, mismatch: int,
+                go1: int, ge1: int, go2: int, ge2: int):
+    """Native anchored-core stitch (sanitize + M/D/I emission + tiny-gap
+    DP); returns (ops, score, (qb, qe, sb, se), bigs (n,5)) or None on
+    failure / lib unavailable.  bigs rows: (qa, qb, sa, sb, ops_pos)."""
+    if _off("stitch_core"):
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(runs)
+    if n == 0:
+        return None
+    cap = len(q) + len(s) + 8
+    ops = np.empty(cap, np.uint8)
+    nops = np.zeros(1, np.int64)
+    score = np.zeros(1, np.int64)
+    bounds = np.zeros(4, np.int64)
+    max_big = 2 * n + 4
+    bigs = np.zeros(5 * max_big, np.int64)
+    nbig = np.zeros(1, np.int64)
+    ok = np.zeros(1, np.int64)
+    lib.stitch_core(
+        np.ascontiguousarray(q, np.uint8), len(q),
+        np.ascontiguousarray(s, np.uint8), len(s),
+        np.ascontiguousarray(runs, np.int64).reshape(-1), n,
+        tiny_cap, match, mismatch, go1, ge1, go2, ge2,
+        ops, cap, nops, score, bounds, bigs, max_big, nbig, ok)
+    if not ok[0]:
+        return None
+    nb = int(nbig[0])
+    return (ops[: int(nops[0])], int(score[0]), tuple(bounds),
+            bigs[: 5 * nb].reshape(nb, 5))

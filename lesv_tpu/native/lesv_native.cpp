@@ -523,3 +523,124 @@ void chain_extract(
 }
 
 }  // extern "C"
+
+// Anchored-core stitching: sanitize runs -> emit M/D/I ops, solve tiny
+// inter-anchor gaps inline (full-DP banded_fill + 1-lane traceback),
+// record big segments for the caller's batched device sweep.
+// Mirrors lesv_tpu.ops.anchored.anchored_align_many's plan/core phase
+// (the python loop is host-latency-bound at scale).
+extern "C" void stitch_core(
+    const uint8_t* q, int64_t lq,
+    const uint8_t* s, int64_t ls,
+    const int64_t* runs_in, int64_t n_runs,   // (qo, so, len) triples
+    int64_t tiny_cap,
+    int64_t match, int64_t mismatch,
+    int64_t go1, int64_t ge1, int64_t go2, int64_t ge2,
+    uint8_t* ops_out, int64_t ops_cap,
+    int64_t* nops_out,
+    int64_t* score_out,
+    int64_t* bounds_out,        // qb, qe, sb, se of the core
+    int64_t* bigs_out,          // (qa, qb, sa, sb, ops_pos) per big seg
+    int64_t max_big,
+    int64_t* n_big_out,
+    int64_t* ok_out)
+{
+    *nops_out = 0; *score_out = 0; *n_big_out = 0; *ok_out = 0;
+    if (n_runs <= 0) return;
+    // sanitize: clamp to bounds, merge same-diagonal overlaps, drop
+    // conflicting overlaps (ops/anchored.sanitize_anchors semantics)
+    std::vector<int64_t> rq, rs, rl;
+    rq.reserve(n_runs); rs.reserve(n_runs); rl.reserve(n_runs);
+    for (int64_t i = 0; i < n_runs; ++i) {
+        int64_t qo = runs_in[3 * i], so = runs_in[3 * i + 1];
+        int64_t ln = runs_in[3 * i + 2];
+        if (ln > lq - qo) ln = lq - qo;
+        if (ln > ls - so) ln = ls - so;
+        if (ln <= 0) continue;
+        if (!rq.empty()) {
+            int64_t pq = rq.back(), ps = rs.back(), pl = rl.back();
+            if (qo - pq == so - ps) {           // same diagonal
+                if (qo <= pq + pl) {            // overlap/adjacent: merge
+                    int64_t nl = qo + ln - pq;
+                    if (nl > pl) rl.back() = nl;
+                    continue;
+                }
+            }
+            if (qo < pq + pl || so < ps + pl) continue;   // conflict: drop
+        }
+        rq.push_back(qo); rs.push_back(so); rl.push_back(ln);
+    }
+    int64_t n = (int64_t)rq.size();
+    if (n == 0) return;
+
+    int64_t pos = 0, score = 0, nbig = 0;
+    bool fail = false;
+    auto gapcost = [&](int64_t g) {
+        int64_t c1 = go1 + g * ge1, c2 = go2 + g * ge2;
+        return c1 < c2 ? c1 : c2;
+    };
+    // tiny-gap scratch (full-DP banded_align, W = sgap+1)
+    const int64_t TC = tiny_cap;
+    std::vector<uint8_t> dirs((TC + 1) * (TC + 2));
+    std::vector<uint8_t> tops(2 * TC + 4);
+    for (int64_t i = 0; i < n && !fail; ++i) {
+        if (i > 0) {
+            int64_t qgap = rq[i] - (rq[i - 1] + rl[i - 1]);
+            int64_t sgap = rs[i] - (rs[i - 1] + rl[i - 1]);
+            if (qgap == 0 && sgap == 0) {
+            } else if (qgap == 0) {
+                if (pos + sgap > ops_cap) { fail = true; break; }
+                std::memset(ops_out + pos, 2, sgap);      // OP_D
+                pos += sgap;
+                score -= gapcost(sgap);
+            } else if (sgap == 0) {
+                if (pos + qgap > ops_cap) { fail = true; break; }
+                std::memset(ops_out + pos, 1, qgap);      // OP_I
+                pos += qgap;
+                score -= gapcost(qgap);
+            } else if (qgap <= TC && sgap <= TC) {
+                // tiny segment: full-DP (W = sgap+1) + 1-lane traceback
+                const uint8_t* qa = q + rq[i - 1] + rl[i - 1];
+                const uint8_t* sa = s + rs[i - 1] + rl[i - 1];
+                int64_t W = sgap + 1;
+                int32_t sc32; int64_t ei, eb; uint8_t okf;
+                banded_fill(qgap, sgap, qa, sa, W, 0,
+                            match, mismatch, go1, ge1, go2, ge2, 0,
+                            dirs.data(), &sc32, &ei, &eb, &okf);
+                if (!okf) { fail = true; break; }
+                int64_t T = qgap + sgap + 2;
+                int64_t nops; uint8_t reached;
+                traceback_batch(1, qgap + 1, W, dirs.data(),
+                                (qgap + 1) * W, W, 1, &ei, &eb, &okf,
+                                0, T, tops.data(), &nops, &reached);
+                if (!reached) { fail = true; break; }
+                if (pos + nops > ops_cap) { fail = true; break; }
+                std::memcpy(ops_out + pos, tops.data(), nops);
+                pos += nops;
+                score += sc32;
+            } else {
+                // big segment: caller aligns + splices at ops_pos
+                if (nbig >= max_big) { fail = true; break; }
+                bigs_out[5 * nbig]     = rq[i - 1] + rl[i - 1];
+                bigs_out[5 * nbig + 1] = rq[i];
+                bigs_out[5 * nbig + 2] = rs[i - 1] + rl[i - 1];
+                bigs_out[5 * nbig + 3] = rs[i];
+                bigs_out[5 * nbig + 4] = pos;
+                ++nbig;
+            }
+        }
+        if (pos + rl[i] > ops_cap) { fail = true; break; }
+        std::memset(ops_out + pos, 0, rl[i]);             // OP_M
+        pos += rl[i];
+        score += rl[i] * match;
+    }
+    if (fail) { *ok_out = 0; return; }
+    *nops_out = pos;
+    *score_out = score;
+    bounds_out[0] = rq[0];
+    bounds_out[1] = rq[n - 1] + rl[n - 1];
+    bounds_out[2] = rs[0];
+    bounds_out[3] = rs[n - 1] + rl[n - 1];
+    *n_big_out = nbig;
+    *ok_out = 1;
+}

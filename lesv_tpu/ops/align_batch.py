@@ -267,8 +267,8 @@ def _host_route(pairs, free_end: bool, on_cpu: bool) -> set[int]:
 
     if not _nat.available():
         return set()
-    cap = int(os.environ.get("LESV_TPU_HOST_CELLS_CAP", 1 << 18))
-    budget = float(os.environ.get("LESV_TPU_HOST_CELLS_BUDGET", 4e9))
+    cap = int(os.environ.get("LESV_TPU_HOST_CELLS_CAP", 1 << 22))
+    budget = float(os.environ.get("LESV_TPU_HOST_CELLS_BUDGET", 3e9))
     costed = []
     for i, (q, s) in enumerate(pairs):
         lq, ls = len(q), len(s)

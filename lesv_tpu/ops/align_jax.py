@@ -210,6 +210,33 @@ def _kernel_jit(q, s, qlen, slen, W, mode, free_end,
                                free_end=free_end)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "mode", "free_end", "match", "mismatch", "go1",
+                     "ge1", "go2", "ge2", "use_p", "interp", "Rq", "Bs",
+                     "B_live"))
+def _fill_slice_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
+                    go1, ge1, go2, ge2, use_p, interp, Rq, Bs, B_live):
+    """Fill + dead-lane/row slicing as ONE dispatch (each eager op costs
+    a tunnel round trip; the slice shapes are static ladder values)."""
+    cfg = AlignConfig(match=match, mismatch=mismatch, gap_open1=go1,
+                      gap_ext1=ge1, gap_open2=go2, gap_ext2=ge2)
+    if use_p:
+        from lesv_tpu.ops.align_pallas import pallas_banded_align_kernel
+
+        dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
+            q, s, qlen, slen, W, mode, cfg, free_end=free_end,
+            interpret=interp)
+        if B_live < q.shape[0]:
+            ok = ok & (jnp.arange(q.shape[0]) < B_live)
+        dirs = dirs[: min(Rq, dirs.shape[0]), :, :Bs]
+    else:
+        dirs, score, end_i, end_b, ok = banded_align_kernel(
+            q, s, qlen, slen, W, mode, cfg, free_end=free_end)
+        dirs = dirs[:Bs, : min(Rq, dirs.shape[1]), :]
+    return (dirs, score[:Bs], end_i[:Bs], end_b[:Bs], ok[:Bs])
+
+
 def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
                     ok: np.ndarray, W: int, mode: str,
                     layout: str = "lane"):
@@ -379,32 +406,23 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
             layout = "lane"
             Bs2 = dirs.shape[0]
             dirs = dirs[:, : min(Rq, dirs.shape[1])]
-    elif use_p:
-        from lesv_tpu.ops.align_pallas import pallas_banded_align_kernel
-
-        Bp = -(-B // 8) * 8
-        if Bp != B:
-            q = np.pad(q, ((0, Bp - B), (0, 0)))
-            s = np.pad(s, ((0, Bp - B), (0, 0)))
-            qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
-            slen = np.pad(slen, (0, Bp - B), constant_values=1)
-        dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
-            put(q), put(s), put(qlen), put(slen), W, mode, cfg,
-            free_end=free_end, interpret=interp)
-        layout = "rwb"
-        if Bp != B:
-            ok = ok & (jnp.arange(Bp) < B)
-        Bs2 = min(Bs, dirs.shape[2])
-        dirs = dirs[: min(Rq, dirs.shape[0]), :, :Bs2]
     else:
-        dirs, score, end_i, end_b, ok = _kernel_jit(
+        if use_p:
+            Bp = -(-B // 8) * 8
+            if Bp != B:
+                q = np.pad(q, ((0, Bp - B), (0, 0)))
+                s = np.pad(s, ((0, Bp - B), (0, 0)))
+                qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
+                slen = np.pad(slen, (0, Bp - B), constant_values=1)
+            layout = "rwb"
+        else:
+            Bp = B
+            layout = "lane"
+        Bs2 = min(Bs, Bp)
+        dirs, score, end_i, end_b, ok = _fill_slice_jit(
             put(q), put(s), put(qlen), put(slen), W, mode, free_end,
             cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
-            cfg.gap_open2, cfg.gap_ext2)
-        layout = "lane"
-        Bs2 = min(Bs, dirs.shape[0])
-        dirs = dirs[:Bs2, : min(Rq, dirs.shape[1]), :]
-    score, end_i, end_b, ok = (x[:Bs2] for x in (score, end_i, end_b, ok))
+            cfg.gap_open2, cfg.gap_ext2, use_p, interp, Rq, Bs2, B)
     # start the device->host copies now: they overlap the dispatch work
     # of later chunks (banded_align_finish's np.asarray then finds the
     # data already on the host)

@@ -32,25 +32,30 @@ from lesv_tpu.ops.cigar import trim_to_exact_match
 def sanitize_anchors(anchors: np.ndarray, k: int) -> np.ndarray:
     """Turn chain anchors into non-overlapping exact runs (qoff, soff, len).
 
+    ``anchors`` is (n, 2) k-mer starts (each of length ``k``) or (n, 3)
+    variable-length runs (MEMs from :func:`ops.pairseed.mem_anchors`).
     Same-diagonal overlapping/adjacent anchors merge into one maximal run;
     an anchor overlapping the previous run in either coordinate on a
     different diagonal is dropped (the banded DP resolves the region).
     """
-    if len(anchors) == 0:
+    a = np.asarray(anchors, np.int64)
+    if a.size == 0:
         return np.empty((0, 3), np.int64)
+    if a.shape[1] == 2:
+        a = np.concatenate([a, np.full((len(a), 1), k, np.int64)], axis=1)
     out: list[list[int]] = []
-    for qo, so in np.asarray(anchors, np.int64):
+    for qo, so, ln in a:
         if not out:
-            out.append([qo, so, k])
+            out.append([qo, so, ln])
             continue
         pq, ps, pl = out[-1]
         if qo - pq == so - ps:  # same diagonal
             if qo <= pq + pl:   # overlap/adjacent: extend run
-                out[-1][2] = max(pl, qo + k - pq)
+                out[-1][2] = max(pl, qo + ln - pq)
                 continue
         if qo < pq + pl or so < ps + pl:  # conflicting overlap: drop
             continue
-        out.append([qo, so, k])
+        out.append([qo, so, ln])
     return np.asarray(out, np.int64)
 
 
@@ -68,7 +73,96 @@ def anchored_align_many(
     """Align many (q, s, anchors, k) tasks, batching all inter-anchor
     segments (and then all end-extension blocks) across tasks into bucketed
     device-kernel calls.  Each result is trimmed to the 8bp-exact-match
-    invariant."""
+    invariant.
+
+    The plan/core phase (sanitize + M/D/I emission + tiny-gap micro-DP)
+    runs in native C++ when available (`native.stitch_core`) — the pure
+    python loop is host-latency-bound at production task counts."""
+    from lesv_tpu import native as _nat
+
+    cfg = cfg or AlignConfig()
+    if _nat.available() and not _nat._off("stitch_core"):
+        return _anchored_align_many_native(tasks, cfg, extend)
+    return _anchored_align_many_py(tasks, cfg, extend)
+
+
+def _anchored_align_many_native(tasks, cfg, extend):
+    from lesv_tpu import native as _nat
+    from lesv_tpu.ops.align_batch import TINY_SEG, align_pairs
+    from lesv_tpu.utils import profiling
+
+    n = len(tasks)
+    stitched: list[list | None] = []
+    seg_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+    seg_owner: list[tuple[int, int]] = []
+    with profiling.trace("anchored/stitch_native"):
+        for ti, (q, s, anchors, k) in enumerate(tasks):
+            a = np.asarray(anchors, np.int64)
+            if a.size == 0:
+                stitched.append(None)
+                continue
+            if a.shape[1] == 2:
+                a = np.concatenate(
+                    [a, np.full((len(a), 1), k, np.int64)], axis=1)
+            r = _nat.stitch_core(q, s, a, TINY_SEG, cfg.match,
+                                 cfg.mismatch, cfg.gap_open1,
+                                 cfg.gap_ext1, cfg.gap_open2,
+                                 cfg.gap_ext2)
+            if r is None:
+                stitched.append(None)
+                continue
+            ops, score, bounds, bigs = r
+            for qa, qb2, sa, sb2, pos in bigs:
+                seg_pairs.append((q[qa:qb2], s[sa:sb2]))
+                seg_owner.append((ti, int(pos)))
+            stitched.append([ops, score, bounds, []])
+    with profiling.trace("anchored/segments"):
+        outs = align_pairs(seg_pairs, cfg, free_end=False)
+    for (ti, pos), a in zip(seg_owner, outs):
+        if stitched[ti] is None:
+            continue
+        if a is None:
+            stitched[ti] = None
+            continue
+        stitched[ti][3].append((pos, a))
+    cores: list[Alignment | None] = []
+    with profiling.trace("anchored/splice"):
+        for st in stitched:
+            if st is None:
+                cores.append(None)
+                continue
+            ops, score, (qb, qe, sb, se), inserts = st
+            if inserts:
+                parts = []
+                prev = 0
+                for pos, a in sorted(inserts, key=lambda t: t[0]):
+                    parts.append(ops[prev:pos])
+                    parts.append(a.ops)
+                    score += a.score
+                    prev = pos
+                parts.append(ops[prev:])
+                ops = np.concatenate(parts)
+            cores.append(Alignment(int(qb), int(qe), int(sb), int(se),
+                                   np.ascontiguousarray(ops),
+                                   score=int(score)))
+    lefts = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0)
+             for _ in range(n)]
+    rights = [Alignment(0, 0, 0, 0, np.empty(0, np.uint8), 0)
+              for _ in range(n)]
+    if extend:
+        with profiling.trace("anchored/extend_ends"):
+            _extend_ends(tasks, cores, lefts, rights, cfg)
+    with profiling.trace("anchored/stitch_trim"):
+        return _stitch_and_trim(tasks, cores, lefts, rights, extend, cfg)
+
+
+def _anchored_align_many_py(
+    tasks: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]],
+    cfg: AlignConfig | None = None,
+    extend: bool = True,
+) -> list[Alignment | None]:
+    """Pure-python plan/core phase (the numpy fallback + the oracle the
+    native stitch is tested against)."""
     from lesv_tpu.ops.align_batch import align_pairs
     from lesv_tpu.utils import profiling
 

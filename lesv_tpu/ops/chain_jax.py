@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import numpy as np
 
 from lesv_tpu.config import ChainConfig
@@ -35,7 +36,7 @@ NEG = -(2**30)
 
 
 @functools.partial(
-    __import__("jax").jit,
+    jax.jit,
     static_argnames=("J", "length", "max_dq", "max_dr", "bw"))
 def _chain_scan_kernel(qoff, soff, valid, J: int, length: int,
                        max_dq: int, max_dr: int, bw: int):
@@ -122,46 +123,93 @@ def _use_pallas_scan() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def sort_scan(qoff, soff, valid, J, length, max_dq, max_dr, bw,
+              use_pallas, interp):
+    """Per-lane seed sort + chain scan (jit-callable: composes into the
+    fused seed+sort+scan programs)."""
+    qs, ss, vs = sort_seeds_device(qoff, soff, valid)
+    if use_pallas:
+        from lesv_tpu.ops.chain_pallas import chain_scan_pallas
+
+        f, p_rel, v = chain_scan_pallas(
+            qs, ss, vs, J=J, length=length, max_dq=max_dq,
+            max_dr=max_dr, bw=bw, interpret=interp)
+    else:
+        f, p_rel, v = _chain_scan_kernel(
+            qs, ss, vs, J=J, length=length, max_dq=max_dq,
+            max_dr=max_dr, bw=bw)
+    return f, p_rel, v, qs, ss, vs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("J", "length", "max_dq", "max_dr", "bw", "Mp",
+                     "use_pallas", "interp"))
+def _sort_scan_jit(qoff, soff, valid, J, length, max_dq, max_dr, bw,
+                   Mp, use_pallas, interp):
+    """ONE dispatch for slice + per-lane seed sort + chain scan.
+
+    On a tunneled device every eager jnp op costs a round trip; fusing
+    the (static) Mp slice, the two argsort passes, and the scan into one
+    jitted program collapses ~8 RTTs per chain call to 1."""
+    qoff, soff, valid = qoff[:, :Mp], soff[:, :Mp], valid[:, :Mp]
+    return sort_scan(qoff, soff, valid, J, length, max_dq, max_dr, bw,
+                     use_pallas, interp)
+
+
+def fetch_chain_arrays(f, p_rel, v, qs, ss, vs):
+    """Device->host fetch of chain-DP outputs; p as absolute predecessor
+    index (-1 = none)."""
+    for x in (f, p_rel, v, qs, ss, vs):
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    f = np.asarray(f)
+    p_rel = np.asarray(p_rel)
+    v = np.asarray(v)
+    qs = np.asarray(qs).astype(np.int64)
+    ss = np.asarray(ss).astype(np.int64)
+    vs = np.asarray(vs)
+    M = f.shape[1]
+    idx = np.arange(M, dtype=np.int64)[None, :]
+    p = np.where(p_rel > 0, idx - p_rel, -1)
+    p = np.where(p >= 0, p, -1)
+    return f, p, v, qs, ss, vs
+
+
+def extract_lanes(f, p, v, qs, ss, vs, length: int,
+                  cfg: ChainConfig) -> list[list[Chain]]:
+    """Host chain extraction for every lane of fetched DP arrays."""
+    from lesv_tpu.utils import profiling
+
+    with profiling.trace("chain/extract"):
+        return [
+            extract_chains_from_fp(f[b], p[b], v[b], qs[b], ss[b], vs[b],
+                                   length, cfg)
+            for b in range(f.shape[0])
+        ]
+
+
 def chain_batch_device(qoff, soff, valid, length: int,
-                       cfg: ChainConfig | None = None, J: int = 64):
+                       cfg: ChainConfig | None = None, J: int = 64,
+                       Mp: int | None = None):
     """Run sort + chain DP on device; returns host (f, p, v, qoff, soff,
-    valid) arrays, p as absolute predecessor index (-1 = none)."""
+    valid) arrays, p as absolute predecessor index (-1 = none).
+    ``Mp``: static slot-count slice applied on device (callers pass the
+    pow2 cover of the real match counts)."""
     import os
 
     from lesv_tpu.utils import profiling
 
     cfg = cfg or ChainConfig()
-    with profiling.trace("chain/sort"):
-        qs, ss, vs = sort_seeds_device(qoff, soff, valid)
-    with profiling.trace("chain/scan"):
-        if _use_pallas_scan():
-            from lesv_tpu.ops.chain_pallas import chain_scan_pallas
-
-            f, p_rel, v = chain_scan_pallas(
-                qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
-                max_dr=cfg.max_dist_ref, bw=cfg.max_band_width,
-                interpret=os.environ.get("LESV_TPU_PALLAS") == "interp")
-        else:
-            f, p_rel, v = _chain_scan_kernel(
-                qs, ss, vs, J=J, length=length, max_dq=cfg.max_dist_qry,
-                max_dr=cfg.max_dist_ref, bw=cfg.max_band_width)
+    with profiling.trace("chain/sort_scan"):
+        f, p_rel, v, qs, ss, vs = _sort_scan_jit(
+            qoff, soff, valid, J=J, length=length,
+            max_dq=cfg.max_dist_qry, max_dr=cfg.max_dist_ref,
+            bw=cfg.max_band_width, Mp=Mp or qoff.shape[1],
+            use_pallas=_use_pallas_scan(),
+            interp=os.environ.get("LESV_TPU_PALLAS") == "interp")
     with profiling.trace("chain/fetch"):
-        for x in (f, p_rel, v, qs, ss, vs):
-            if hasattr(x, "copy_to_host_async"):
-                x.copy_to_host_async()
-        f = np.asarray(f)
-        p_rel = np.asarray(p_rel)
-        v = np.asarray(v)
-        qs = np.asarray(qs).astype(np.int64)
-        ss = np.asarray(ss).astype(np.int64)
-        vs = np.asarray(vs)
-    M = f.shape[1]
-    idx = np.arange(M, dtype=np.int64)[None, :]
-    p = np.where(p_rel > 0, idx - p_rel, -1)
-    # a predecessor pointing before slot 0 cannot happen (buffer starts
-    # at NEG), but guard anyway
-    p = np.where(p >= 0, p, -1)
-    return f, p, v, qs, ss, vs
+        return fetch_chain_arrays(f, p_rel, v, qs, ss, vs)
 
 
 def extract_chains_from_fp(
@@ -261,16 +309,52 @@ def extract_chains_from_fp(
 
 def chain_lanes(qoff, soff, valid, length: int,
                 cfg: ChainConfig | None = None,
-                J: int = 64) -> list[list[Chain]]:
+                J: int = 64, Mp: int | None = None) -> list[list[Chain]]:
     """Full batched chaining: device sort+DP, host extraction per lane."""
     from lesv_tpu.utils import profiling
 
     cfg = cfg or ChainConfig()
     f, p, v, qs, ss, vs = chain_batch_device(qoff, soff, valid, length,
-                                             cfg, J=J)
+                                             cfg, J=J, Mp=Mp)
     with profiling.trace("chain/extract"):
         return [
             extract_chains_from_fp(f[b], p[b], v[b], qs[b], ss[b], vs[b],
                                    length, cfg)
             for b in range(f.shape[0])
         ]
+
+
+@functools.partial(jax.jit, static_argnames=("Mp",))
+def _slice_chain_jit(f, p_rel, v, qs, ss, Mp):
+    """Slice chain-DP outputs to the live slot ladder ON DEVICE (one
+    dispatch) before the host fetch — the fetch then moves Mp slots per
+    lane instead of the full match budget."""
+    return (f[:, :Mp], p_rel[:, :Mp].astype(jnp_int16()),
+            v[:, :Mp], qs[:, :Mp], ss[:, :Mp])
+
+
+def jnp_int16():
+    import jax.numpy as jnp
+
+    return jnp.int16
+
+
+def fetch_chain_sliced(f, p_rel, v, qs, ss, total, M: int, Mp: int):
+    """Device-slice to Mp slots, fetch, and rebuild (f, p, v, qs, ss,
+    valid) host arrays.  ``valid`` is reconstructed from ``total`` (the
+    sorted valid slots are a prefix of length min(total, M))."""
+    f, p_rel, v, qs, ss = _slice_chain_jit(f, p_rel, v, qs, ss, Mp=Mp)
+    for x in (f, p_rel, v, qs, ss):
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    f = np.asarray(f)
+    p_rel = np.asarray(p_rel).astype(np.int64)
+    v = np.asarray(v)
+    qs = np.asarray(qs).astype(np.int64)
+    ss = np.asarray(ss).astype(np.int64)
+    idx = np.arange(Mp, dtype=np.int64)[None, :]
+    p = np.where(p_rel > 0, idx - p_rel, -1)
+    p = np.where(p >= 0, p, -1)
+    n = np.minimum(np.asarray(total)[: f.shape[0]], M)
+    valid = idx < n[:, None]
+    return f, p, v, qs, ss, valid

@@ -75,6 +75,48 @@ def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+def mem_anchors(q: np.ndarray, s: np.ndarray, anchors: np.ndarray,
+                k: int, mem_size: int = 15) -> np.ndarray:
+    """Extend chain anchors to maximal exact runs and keep MEMs >=
+    ``mem_size`` (the reference's `s_extract_mem`,
+    `init_hit_finder.c:255-295`: only maximal matches >= memsc_mem_size
+    anchor the traceback — raw k-mers only guide the chain).
+
+    This is what keeps spurious k=10 matches (e.g. inside a long novel
+    insertion) from forcing the alignment path through a wrong cell and
+    fragmenting the SV gap run.  Returns (n, 3) runs (qoff, soff, len),
+    ascending; falls back to the raw anchors when nothing survives (an
+    alignment from weak anchors beats losing the read)."""
+    a = np.asarray(anchors, np.int64)
+    if a.size == 0:
+        return np.empty((0, 3), np.int64)
+    from lesv_tpu import native
+
+    r = native.extend_matches(q, s, k, a[:, 0], a[:, 1])
+    if r is not None:
+        qo, so, lens = r
+    else:
+        qo = a[:, 0].copy()
+        so = a[:, 1].copy()
+        lens = np.full(len(a), k, np.int64)
+        for i in range(len(a)):
+            x, y = int(qo[i]), int(so[i])
+            while x > 0 and y > 0 and q[x - 1] == s[y - 1]:
+                x -= 1
+                y -= 1
+            e, f = int(qo[i]) + k, int(so[i]) + k
+            while e < len(q) and f < len(s) and q[e] == s[f]:
+                e += 1
+                f += 1
+            qo[i], so[i], lens[i] = x, y, e - x
+    keep = lens >= mem_size
+    if not keep.any():
+        return np.concatenate([a, np.full((len(a), 1), k, np.int64)],
+                              axis=1)
+    runs = np.stack([qo[keep], so[keep], lens[keep]], axis=1)
+    return np.unique(runs, axis=0)   # row-sorted: ascending (qoff, soff)
+
+
 def pair_chains(
     q: np.ndarray,
     s: np.ndarray,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import numpy as np
 
 from lesv_tpu.ops.seeding_jax import _hash_limbs, _LO_BITS
@@ -164,3 +165,76 @@ def pair_matches_batch(
     # match buffers stay ON DEVICE (the chain DP consumes them there);
     # only the tiny totals come back
     return qoff, soff, valid, np.asarray(total)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "q_stride", "max_occ", "M", "J", "max_dq",
+                     "max_dr", "bw", "use_pallas", "interp"))
+def _pair_seed_chain_jit(q, s, qlen, slen, k, q_stride, max_occ, M,
+                         J, max_dq, max_dr, bw, use_pallas, interp):
+    """Fused pairwise seeding + seed sort + chain scan: ONE device
+    dispatch per chunk (each eager hop costs a tunnel round trip)."""
+    from lesv_tpu.ops.chain_jax import sort_scan
+
+    qoff, soff, valid, total = _pair_seed_kernel(
+        q, s, qlen, slen, k=k, q_stride=q_stride, max_occ=max_occ, M=M)
+    f, p_rel, v, qs, ss, vs = sort_scan(
+        qoff, soff, valid, J, k, max_dq, max_dr, bw, use_pallas, interp)
+    return f, p_rel, v, qs, ss, vs, total
+
+
+def pair_chain_lanes_fused(
+    pairs: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    q_stride: int,
+    max_occ: int,
+    M: int,
+    Qb: int,
+    Sb: int,
+    ccfg,
+    J: int = 64,
+):
+    """Chains for a chunk of (q, s) pairs with seeding + sort + chain DP
+    as one fused device program.  Returns (chains per pair, total np) —
+    lanes whose total exceeds M must be re-done by the caller's host
+    oracle."""
+    import os
+
+    import jax.numpy as jnp
+
+    from lesv_tpu.ops.chain_jax import (
+        _use_pallas_scan,
+        extract_lanes,
+        fetch_chain_sliced,
+    )
+    from lesv_tpu.utils import profiling
+
+    B = 16 if len(pairs) <= 16 else 64
+    if len(pairs) > 64:
+        B = 1 << int(np.ceil(np.log2(len(pairs))))
+    q = np.full((B, Qb), 4, np.uint8)
+    s = np.full((B, Sb), 4, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    slen = np.zeros(B, np.int32)
+    for i, (qi, si) in enumerate(pairs):
+        q[i, : len(qi)] = qi
+        s[i, : len(si)] = si
+        qlen[i] = len(qi)
+        slen[i] = len(si)
+    with profiling.trace("pairseed/fused_dispatch"):
+        f, p_rel, v, qs, ss, vs, total = _pair_seed_chain_jit(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
+            jnp.asarray(slen), k=k, q_stride=q_stride, max_occ=max_occ,
+            M=M, J=J, max_dq=ccfg.max_dist_qry, max_dr=ccfg.max_dist_ref,
+            bw=ccfg.max_band_width, use_pallas=_use_pallas_scan(),
+            interp=os.environ.get("LESV_TPU_PALLAS") == "interp")
+        total = np.asarray(total)            # tiny: (B,) i32
+    from lesv_tpu.pipeline.batch_align import _shrink_M
+
+    Mp = _shrink_M(total[: len(pairs)], M)
+    with profiling.trace("pairseed/fused_fetch"):
+        f, p, v, qs, ss, valid = fetch_chain_sliced(
+            f, p_rel, v, qs, ss, total, M, Mp)
+    lanes = extract_lanes(f[: len(pairs)], p, v, qs, ss, valid, k, ccfg)
+    return lanes[: len(pairs)], total

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import numpy as np
 
 from lesv_tpu.config import SeedingConfig
@@ -261,3 +262,77 @@ def seed_matches_batch(
         di.hash_hi, di.hash_lo, di.start, di.positions,
         k=di.k, max_occ=cfg.max_query_kmer_occ, M=M, n_index=di.n)
     return qoff, soff, valid, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "max_occ", "M", "n_index", "J", "max_dq",
+                     "max_dr", "bw", "use_pallas", "interp"))
+def _seed_chain_jit(codes, qlen, offs, hash_hi, hash_lo, start,
+                    positions, k, max_occ, M, n_index, J, max_dq,
+                    max_dr, bw, use_pallas, interp):
+    """Fused windowed seeding + seed sort + chain scan (one dispatch)."""
+    from lesv_tpu.ops.chain_jax import sort_scan
+
+    qoff, soff, valid, total = _seed_match_kernel(
+        codes, qlen, offs, hash_hi, hash_lo, start, positions,
+        k=k, max_occ=max_occ, M=M, n_index=n_index)
+    f, p_rel, v, qs, ss, vs = sort_scan(
+        qoff, soff, valid, J, k, max_dq, max_dr, bw, use_pallas, interp)
+    return f, p_rel, v, qs, ss, vs, total
+
+
+def seed_chain_lanes_fused(
+    reads: list[np.ndarray],
+    index: KmerIndex,
+    scfg: SeedingConfig,
+    ccfg,
+    M: int,
+    Qmax: int,
+    J: int = 64,
+):
+    """Primary DDF seeding + chain DP for a read chunk, fused into one
+    device program (both strands; lane 2i FWD / 2i+1 REV).  Returns
+    (chains per lane, total np)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from lesv_tpu.io.fasta import revcomp
+    from lesv_tpu.ops.chain_jax import (
+        _use_pallas_scan,
+        extract_lanes,
+        fetch_chain_sliced,
+    )
+    from lesv_tpu.utils import profiling
+
+    di = device_index_of(index)
+    R = len(reads)
+    B = 2 * R
+    B = 16 if B <= 16 else 128
+    if 2 * R > 128:
+        B = 1 << int(np.ceil(np.log2(2 * R)))
+    codes = np.full((B, Qmax), 4, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    for i, r in enumerate(reads):
+        codes[2 * i, : len(r)] = r
+        codes[2 * i + 1, : len(r)] = revcomp(r)
+        qlen[2 * i] = qlen[2 * i + 1] = len(r)
+    offs = sampled_offsets_static(Qmax, di.k, scfg.query_stride, scfg)
+    with profiling.trace("map/seed_chain_fused"):
+        f, p_rel, v, qs, ss, vs, total = _seed_chain_jit(
+            jnp.asarray(codes), jnp.asarray(qlen), jnp.asarray(offs),
+            di.hash_hi, di.hash_lo, di.start, di.positions,
+            k=di.k, max_occ=scfg.max_query_kmer_occ, M=M, n_index=di.n,
+            J=J, max_dq=ccfg.max_dist_qry, max_dr=ccfg.max_dist_ref,
+            bw=ccfg.max_band_width, use_pallas=_use_pallas_scan(),
+            interp=os.environ.get("LESV_TPU_PALLAS") == "interp")
+    total = np.asarray(total)                # tiny: (B,) i32
+    from lesv_tpu.pipeline.batch_align import _shrink_M
+
+    Mp = _shrink_M(total[: 2 * R], M)
+    with profiling.trace("map/seed_chain_fetch"):
+        f, p, v, qs, ss, valid = fetch_chain_sliced(
+            f, p_rel, v, qs, ss, total, M, Mp)
+    lanes = extract_lanes(f[: 2 * R], p, v, qs, ss, valid, di.k, ccfg)
+    return lanes, total

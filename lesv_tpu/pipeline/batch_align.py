@@ -89,7 +89,10 @@ def batch_pair_chains(
         return [host_chains(q, s) for q, s in pairs]
 
     from lesv_tpu.ops.chain_jax import chain_lanes
-    from lesv_tpu.ops.pairseed_jax import pair_matches_batch
+    from lesv_tpu.ops.pairseed_jax import (
+        pair_chain_lanes_fused,
+        pair_matches_batch,
+    )
     from lesv_tpu.utils import profiling
 
     import jax
@@ -110,19 +113,25 @@ def batch_pair_chains(
 
     def run_chunk(cidx, Qb, Sb):
         chunk = [pairs[i] for i in cidx]
-        with profiling.trace("pairseed_device"):
-            qoff, soff, valid, total = pair_matches_batch(
-                chunk, k=k, q_stride=stride, max_occ=occ, M=M,
-                Qb=Qb, Sb=Sb)
-        # valid slots are a prefix (the expansion fills 0..total-1):
-        # the chain DP only needs pow2(max total) slots — usually
-        # far fewer scan steps than the full budget.  Buffers stay
-        # on device end to end (slices are lazy device ops).
-        Mp = _shrink_M(total, M)
-        with profiling.trace("pairchain_device"):
-            lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
-                                valid[:, :Mp], k, pcfg,
-                                J=cfg.chain.lookback)
+        if not on_cpu:
+            # tunneled device: seeding + sort + chain DP as ONE fused
+            # dispatch (pairseed_jax.pair_chain_lanes_fused)
+            with profiling.trace("pairchain_fused"):
+                lanes, total = pair_chain_lanes_fused(
+                    chunk, k=k, q_stride=stride, max_occ=occ, M=M,
+                    Qb=Qb, Sb=Sb, ccfg=pcfg, J=cfg.chain.lookback)
+        else:
+            with profiling.trace("pairseed_device"):
+                qoff, soff, valid, total = pair_matches_batch(
+                    chunk, k=k, q_stride=stride, max_occ=occ, M=M,
+                    Qb=Qb, Sb=Sb)
+            # valid slots are a prefix (the expansion fills 0..total-1):
+            # the chain DP only needs pow2(max total) slots.  Buffers
+            # stay on device end to end.
+            Mp = _shrink_M(total, M)
+            with profiling.trace("pairchain_device"):
+                lanes = chain_lanes(qoff, soff, valid, k, pcfg,
+                                    J=cfg.chain.lookback, Mp=Mp)
         for j, i in enumerate(cidx):
             if total[j] > M:
                 out[i] = host_chains(*pairs[i])
@@ -186,13 +195,17 @@ def chain_and_align_many(
     k: int | None = None,
 ) -> list[Alignment | None]:
     """Best-chain anchored alignment for each (q, s) pair, batched."""
+    from lesv_tpu.ops.pairseed import mem_anchors
+
     k = k or cfg.memsc.kmer_size
     all_chains = batch_pair_chains(pairs, cfg, k=k)
     tasks = []
     mapping = []
     for i, ((q, s), chains) in enumerate(zip(pairs, all_chains)):
         if chains:
-            tasks.append((q, s, chains[0].anchors, k))
+            runs = mem_anchors(q, s, chains[0].anchors, k,
+                               cfg.memsc.mem_size)
+            tasks.append((q, s, runs, k))
             mapping.append(i)
     outs = anchored_align_many(tasks, cfg.align, extend)
     res: list[Alignment | None] = [None] * len(pairs)

@@ -25,6 +25,7 @@ from lesv_tpu.io.fasta import revcomp
 from lesv_tpu.io.seqstore import SeqStore
 from lesv_tpu.ops.anchored import anchored_align_many
 from lesv_tpu.ops.cigar import match_mask
+from lesv_tpu.ops.pairseed import mem_anchors
 from lesv_tpu.ops.consensus import (
     consensus_from_tags,
     coverage_from_tags,
@@ -211,8 +212,10 @@ def _run_round(
             chunk = first_chunk if st.pos == 0 else next_chunk
             for idx in range(st.pos, min(st.pos + chunk, len(st.cands))):
                 j, chain, sdir, q = st.cands[idx]
-                tasks.append((q, tmpl_seq, chain.anchors,
-                              cfg.memsc.kmer_size))
+                runs = mem_anchors(q, tmpl_seq, chain.anchors,
+                                   cfg.memsc.kmer_size,
+                                   cfg.memsc.mem_size)
+                tasks.append((q, tmpl_seq, runs, cfg.memsc.kmer_size))
                 owners.append((st, idx))
         alns = anchored_align_many(tasks, cfg.align)
         by_state: dict[int, dict[int, object]] = {}

@@ -189,19 +189,29 @@ def _chains_by_read_device(
     for i, (_, read) in enumerate(batch):
         buckets.setdefault(q2(len(read)), []).append(i)
     M = cfg.map.seed_match_budget
+    on_cpu = jax.default_backend() == "cpu"
     for Qmax, idxs in sorted(buckets.items()):
         for start in range(0, len(idxs), 64):
             cidx = idxs[start : start + 64]
             reads = [batch[i][1] for i in cidx]
-            with profiling.trace("map/seed_device"):
-                qoff, soff, valid, total = seed_matches_batch(
-                    reads, index, cfg.seeding, M=M, Qmax=Qmax)
-            total = np.asarray(total)
-            Mp = _shrink_M(total, M)
-            with profiling.trace("map/chain_device"):
-                lanes = chain_lanes(qoff[:, :Mp], soff[:, :Mp],
-                                    valid[:, :Mp], index.k, cfg.chain,
-                                    J=cfg.chain.lookback)
+            if not on_cpu:
+                # tunneled device: seeding + sort + chain DP fused into
+                # ONE dispatch (seeding_jax.seed_chain_lanes_fused)
+                from lesv_tpu.ops.seeding_jax import seed_chain_lanes_fused
+
+                lanes, total = seed_chain_lanes_fused(
+                    reads, index, cfg.seeding, cfg.chain, M=M, Qmax=Qmax,
+                    J=cfg.chain.lookback)
+            else:
+                with profiling.trace("map/seed_device"):
+                    qoff, soff, valid, total = seed_matches_batch(
+                        reads, index, cfg.seeding, M=M, Qmax=Qmax)
+                total = np.asarray(total)
+                Mp = _shrink_M(total, M)
+                with profiling.trace("map/chain_device"):
+                    lanes = chain_lanes(qoff, soff, valid, index.k,
+                                        cfg.chain, J=cfg.chain.lookback,
+                                        Mp=Mp)
             for j, i in enumerate(cidx):
                 if total[2 * j] > M or total[2 * j + 1] > M:
                     # budget overflow (repeat-dense read): host oracle
@@ -265,12 +275,19 @@ def map_batch(
             wchains_all = batch_pair_chains(wtasks, cfg)
         mk = cfg.memsc.kmer_size
 
+    from lesv_tpu.ops.pairseed import mem_anchors
+
     tasks = []   # (q, sseq, anchors, k)
     meta = []    # (qid, qlen, window, chain)
     for (qid, qlen, w), (q, sseq), wchains in zip(wmeta, wtasks,
                                                   wchains_all):
         for c in wchains[: cfg.map.max_hsps]:
-            tasks.append((q, sseq, c.anchors, mk))
+            if cfg.memsc.skip_memsc:
+                runs = c.anchors          # DDF k-mers (k = index.k >= 15)
+            else:
+                runs = mem_anchors(q, sseq, c.anchors, mk,
+                                   cfg.memsc.mem_size)
+            tasks.append((q, sseq, runs, mk))
             meta.append((qid, qlen, w, c))
     with profiling.trace("map/extend"):
         alns = anchored_align_many(tasks, cfg.align)

@@ -121,7 +121,10 @@ def realign_span(qstore: SeqStore, sstore: SeqStore, qid: int, qdir: int,
                          min_score=cfg.memsc.mem_score, cfg=cfg.chain)
     if not chains:
         return None
-    aln = anchored_extend(q, s, chains[0].anchors, k=mk, cfg=cfg.align)
+    from lesv_tpu.ops.pairseed import mem_anchors
+
+    runs = mem_anchors(q, s, chains[0].anchors, mk, cfg.memsc.mem_size)
+    aln = anchored_extend(q, s, runs, k=mk, cfg=cfg.align)
     if aln is None:
         return None
     return q, s, aln

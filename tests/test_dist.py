@@ -51,7 +51,7 @@ def test_distributed_matches_single_host():
                    for c in single)
 
 
-def _world(seed=77, genome_size=60_000, coverage=8.0):
+def _world(seed=77, genome_size=120_000, coverage=8.0):
     rng = np.random.default_rng(seed)
     genome = random_genome(rng, genome_size)
     donor, truth = plant_svs(rng, genome, n_del=1, n_ins=1,

@@ -149,7 +149,7 @@ def test_pair_matches_batch_equals_host():
 
     qoff, soff, valid, total = pair_matches_batch(pairs)
     for i, (q, s) in enumerate(pairs):
-        want_q, want_s = pair_seeds(q, s, k=12, q_stride=10, max_occ=8)
+        want_q, want_s = pair_seeds(q, s, k=10, q_stride=10, max_occ=8)
         got = set(zip(qoff[i][valid[i]].tolist(),
                       soff[i][valid[i]].astype(np.int64).tolist()))
         want = set(zip(want_q.tolist(), want_s.tolist()))

@@ -145,6 +145,9 @@ def pair_matches_batch(
     # lane count padded to a 2-value ladder (every distinct B is a
     # separate XLA executable, and loading one through the device tunnel
     # costs seconds; callers chunk at <= 64 pairs)
+    from lesv_tpu.utils.jaxinit import setup_jax
+
+    setup_jax()
     B = 16 if len(pairs) <= 16 else 64
     if len(pairs) > 64:
         B = 1 << int(np.ceil(np.log2(len(pairs))))

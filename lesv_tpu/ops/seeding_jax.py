@@ -238,6 +238,9 @@ def seed_matches_batch(
     from lesv_tpu.io.fasta import revcomp
 
     cfg = cfg or SeedingConfig()
+    from lesv_tpu.utils.jaxinit import setup_jax
+
+    setup_jax()
     di = device_index_of(index)
     R = len(reads)
     if Qmax is None:

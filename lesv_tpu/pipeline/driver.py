@@ -59,7 +59,9 @@ def run_pipeline(
     resume: bool = False,
 ) -> PipelineResult:
     from lesv_tpu.pipeline import stages_io as sio
+    from lesv_tpu.utils.jaxinit import setup_jax
 
+    setup_jax()   # persistent compile cache BEFORE any device work
     cfg = cfg or LesvConfig()
     timings: dict[str, float] = {}
     stats: dict[str, int] = {}

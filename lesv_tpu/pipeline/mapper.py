@@ -190,6 +190,7 @@ def _chains_by_read_device(
         buckets.setdefault(q2(len(read)), []).append(i)
     M = cfg.map.seed_match_budget
     on_cpu = jax.default_backend() == "cpu"
+    overflow: list[int] = []
     for Qmax, idxs in sorted(buckets.items()):
         for start in range(0, len(idxs), 64):
             cidx = idxs[start : start + 64]
@@ -214,10 +215,37 @@ def _chains_by_read_device(
                                         Mp=Mp)
             for j, i in enumerate(cidx):
                 if total[2 * j] > M or total[2 * j + 1] > M:
-                    # budget overflow (repeat-dense read): host oracle
-                    out[i] = _chains_by_read_host(batch[i][1], index, cfg)
+                    overflow.append(i)
                 else:
                     out[i] = {FWD: lanes[2 * j], REV: lanes[2 * j + 1]}
+    # long/repeat-dense reads overflow the per-lane budget: retry on
+    # device at 4x slots (narrow chunks) before the stride-1 host oracle
+    # (which costs ~1s/read) — the reference has no budget (ragged
+    # arrays), so this only affects the execution path, not the chains
+    if overflow and not on_cpu:
+        from lesv_tpu.ops.seeding_jax import seed_chain_lanes_fused
+
+        M2x = 2 * M
+        still: list[int] = []
+        rebuck: dict[int, list[int]] = {}
+        for i in overflow:
+            rebuck.setdefault(q2(len(batch[i][1])), []).append(i)
+        for Qmax, oidx in sorted(rebuck.items()):
+            for start in range(0, len(oidx), 8):
+                cidx = oidx[start : start + 8]
+                reads = [batch[i][1] for i in cidx]
+                lanes, total = seed_chain_lanes_fused(
+                    reads, index, cfg.seeding, cfg.chain, M=M2x,
+                    Qmax=Qmax, J=cfg.chain.lookback)
+                for j, i in enumerate(cidx):
+                    if total[2 * j] > M2x or total[2 * j + 1] > M2x:
+                        still.append(i)
+                    else:
+                        out[i] = {FWD: lanes[2 * j],
+                                  REV: lanes[2 * j + 1]}
+        overflow = still
+    for i in overflow:
+        out[i] = _chains_by_read_host(batch[i][1], index, cfg)
     return out
 
 

@@ -224,9 +224,14 @@ def _fill_slice_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
     if use_p:
         from lesv_tpu.ops.align_pallas import pallas_banded_align_kernel
 
+        # force_i16=False: the i16 probe's lowering-failure fallback
+        # (try/except in pallas_banded_align_kernel) cannot fire here —
+        # the Mosaic error would surface at THIS jit's compile, outside
+        # that try.  i32 is always legal; the i16 variant stays a
+        # standalone-path/test feature until libtpu legalizes it.
         dirs, score, end_i, end_b, ok = pallas_banded_align_kernel(
             q, s, qlen, slen, W, mode, cfg, free_end=free_end,
-            interpret=interp)
+            interpret=interp, force_i16=False)
         if B_live < q.shape[0]:
             ok = ok & (jnp.arange(q.shape[0]) < B_live)
         dirs = dirs[: min(Rq, dirs.shape[0]), :, :Bs]

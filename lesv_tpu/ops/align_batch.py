@@ -149,6 +149,56 @@ def align_pairs(
 TINY_SEG = 16
 
 
+def global_align_pairs_host(
+    pairs: Sequence[tuple[np.ndarray, np.ndarray]],
+    cfg: AlignConfig | None = None,
+) -> list[Alignment | None]:
+    """Reference-semantics global NW of whole (q, s) spans on the host.
+
+    `align_and_refine_subseq_with_ksw` with max_dist=-1 runs ksw2 NW at
+    band = max_subseq_size (`app/necat2sv/align_subseqs.c:193-262`) — no
+    seeding/chaining — so a 1.5kb deletion inside the span is bridged by
+    the DP itself.  This is the fallback for spans where chain-anchored
+    alignment cannot bridge the SV (a spurious chance-k-mer chain tail can
+    overlap the far-side chain and block the SV-preserving join; see
+    `find_sv_reads.c:341-430` s_chain_dual_m4s).  The band starts at
+    2x the length imbalance (the path's diagonal drift bound) and widens
+    on band escape; results are trimmed to the exact-match-end invariant.
+    """
+    from lesv_tpu import native as _nat
+    from lesv_tpu.ops.cigar import trim_to_exact_match
+
+    cfg = cfg or AlignConfig()
+    out: list[Alignment | None] = []
+    for q, s in pairs:
+        lq, ls = len(q), len(s)
+        if lq == 0 or ls == 0:
+            out.append(None)
+            continue
+        W = min(ls + 1, _next_pow2(2 * abs(ls - lq) + 1024, lo=256,
+                                   hi=1 << 17))
+        a: Alignment | None = None
+        while True:
+            mode_diag = W < ls + 1
+            if _nat.available():
+                r = _nat.banded_align_one(
+                    q, s, int(W), mode_diag, cfg.match, cfg.mismatch,
+                    cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2,
+                    cfg.gap_ext2, False)
+                if r is not None:
+                    ops, score, qe, se = r
+                    a = Alignment(0, qe, 0, se, ops, score=score)
+            else:
+                a = banded_global_align(q, s, W, cfg=cfg)
+            if a is not None or W >= ls + 1:
+                break
+            W = min(W * 2, ls + 1)
+        if a is not None:
+            a = trim_to_exact_match(a, q, s, cfg.end_match_len)
+        out.append(a)
+    return out
+
+
 def align_pairs_host(
     pairs: Sequence[tuple[np.ndarray, np.ndarray]],
     cfg: AlignConfig | None = None,

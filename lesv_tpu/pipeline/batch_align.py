@@ -193,8 +193,16 @@ def chain_and_align_many(
     cfg: LesvConfig,
     extend: bool = True,
     k: int | None = None,
+    global_fallback: bool = False,
 ) -> list[Alignment | None]:
-    """Best-chain anchored alignment for each (q, s) pair, batched."""
+    """Best-chain anchored alignment for each (q, s) pair, batched.
+
+    With ``global_fallback`` (stages whose reference analogue is a whole-
+    span NW: sv-read realign, signature extraction, remap), pairs whose
+    anchored alignment fails to cover the span fall back to the host
+    global DP (`ops.align_batch.global_align_pairs_host`) — a chance-
+    k-mer chain tail past a large SV can block the chain join and leave
+    only one flank aligned (`find_sv_reads.c:341-430` semantics)."""
     from lesv_tpu.ops.pairseed import mem_anchors
 
     k = k or cfg.memsc.kmer_size
@@ -211,4 +219,37 @@ def chain_and_align_many(
     res: list[Alignment | None] = [None] * len(pairs)
     for i, a in zip(mapping, outs):
         res[i] = a
+    if global_fallback:
+        _apply_global_fallback(pairs, res, cfg)
     return res
+
+
+def _apply_global_fallback(pairs, res, cfg: LesvConfig,
+                           frac: float = 0.85) -> None:
+    """Replace low-coverage anchored alignments with whole-span NW."""
+    from lesv_tpu.ops.align_batch import global_align_pairs_host
+    from lesv_tpu.utils import profiling
+
+    idxs = []
+    for i, ((q, s), a) in enumerate(zip(pairs, res)):
+        if len(q) == 0 or len(s) == 0:
+            continue
+        if (a is None or (a.qe - a.qb) < frac * len(q)
+                or (a.se - a.sb) < frac * len(s)):
+            idxs.append(i)
+    if not idxs:
+        return
+    with profiling.trace("align/global_fallback"):
+        galns = global_align_pairs_host([pairs[i] for i in idxs],
+                                        cfg.align)
+    for i, ga in zip(idxs, galns):
+        if ga is None:
+            continue
+        old = res[i]
+        # the reference uses the NW result unconditionally (span coverage
+        # is the contract; a flank-only alignment can out-SCORE the true
+        # SV-bridging path by dodging the gap penalty) — accept the
+        # global alignment whenever it covers more of the span
+        if old is None or ((ga.qe - ga.qb) + (ga.se - ga.sb)
+                           > (old.qe - old.qb) + (old.se - old.sb)):
+            res[i] = ga

@@ -103,7 +103,7 @@ def remap_all(
         subject = sstore.get(cr.subject_id, cr.fsfrom, cr.fsto)
         pairs.append((read, subject))
         reads.append(read)
-    alns = chain_and_align_many(pairs, cfg)
+    alns = chain_and_align_many(pairs, cfg, global_fallback=True)
     out = []
     for cr, (read, subject), aln in zip(corrected, pairs, alns):
         if aln is None or len(aln.ops) == 0:

@@ -58,7 +58,7 @@ def extract_signatures(
          sstore.get(svr.subject_id, svr.soff, svr.send))
         for svr in sv_reads
     ]
-    alns = chain_and_align_many(pairs, cfg)
+    alns = chain_and_align_many(pairs, cfg, global_fallback=True)
     for svr, (q, s), aln in zip(sv_reads, pairs, alns):
         if aln is None:
             continue

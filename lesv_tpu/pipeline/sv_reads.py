@@ -119,12 +119,19 @@ def realign_span(qstore: SeqStore, sstore: SeqStore, qid: int, qdir: int,
     chains = pair_chains(q, s, k=mk, q_stride=cfg.memsc.kmer_window,
                          max_occ=cfg.memsc.max_occ,
                          min_score=cfg.memsc.mem_score, cfg=cfg.chain)
-    if not chains:
-        return None
-    from lesv_tpu.ops.pairseed import mem_anchors
+    aln = None
+    if chains:
+        from lesv_tpu.ops.pairseed import mem_anchors
 
-    runs = mem_anchors(q, s, chains[0].anchors, mk, cfg.memsc.mem_size)
-    aln = anchored_extend(q, s, runs, k=mk, cfg=cfg.align)
+        runs = mem_anchors(q, s, chains[0].anchors, mk, cfg.memsc.mem_size)
+        aln = anchored_extend(q, s, runs, k=mk, cfg=cfg.align)
+    # whole-span NW fallback (the reference always full-DPs this span,
+    # `align_subseqs.c:193-262`); see batch_align._apply_global_fallback
+    from lesv_tpu.pipeline.batch_align import _apply_global_fallback  # noqa: E402
+
+    res = [aln]
+    _apply_global_fallback([(q, s)], res, cfg)
+    aln = res[0]
     if aln is None:
         return None
     return q, s, aln

@@ -423,6 +423,38 @@ def compare_signatures(ref_sigs: list[dict], our_sigs: list[dict],
     }
 
 
+def compare_signatures_per_read(ref_sigs: list[dict], our_sigs: list[dict],
+                                qname_of, pos_tol: int = 100,
+                                len_ratio: float = 0.7) -> dict:
+    """Per-read signature concordance: a reference signature matches only
+    an our-signature from the SAME read (qname) at the same locus.
+
+    The global greedy matcher can attribute a miss to the wrong qname
+    when several reads carry one SV locus; this keyed variant is the
+    root-cause-faithful recall (tools/sig_diff.py semantics)."""
+    ours: dict[str, list] = {}
+    for o in our_sigs:
+        ours.setdefault(qname_of(o), []).append(o)
+    hit = miss = 0
+    for r in ref_sigs:
+        cand = ours.get(r.get("qname", ""), [])
+        m = None
+        for i, o in enumerate(cand):
+            if (o["kind"] == r["kind"]
+                    and abs(o["sfrom"] - r["sfrom"]) <= pos_tol
+                    and min(o["length"], r["length"])
+                    >= len_ratio * max(o["length"], r["length"])):
+                m = i
+                break
+        if m is None:
+            miss += 1
+        else:
+            cand.pop(m)
+            hit += 1
+    return {"hit": hit, "miss": miss,
+            "per_read_recall": hit / max(1, hit + miss)}
+
+
 def one_seed(seed: int, args, bin_dir: str) -> dict:
     wrk = os.path.join(args.out, f"seed{seed}")
     refw = os.path.join(wrk, "ref")
@@ -488,6 +520,10 @@ def one_seed(seed: int, args, bin_dir: str) -> dict:
         "signatures": compare_signatures(
             parse_ref_signatures(ref_art["svsig"]), our_sigs,
             misses=misses),
+        "signatures_per_read": compare_signatures_per_read(
+            parse_ref_signatures(ref_art["svsig"]),
+            [dict(d, qid=g.qid) for d, g in zip(our_sigs, sigs)],
+            qname_of=lambda o: qstore.name_of(o["qid"])),
         "groups": compare_groups(parse_ref_groups(ref_art["group"]), groups),
         "cns": compare_cns(parse_ref_cns_fasta(ref_art["cns"]), corrected,
                            misses=misses),
@@ -541,6 +577,9 @@ def main():
             [r["m4"]["our_precision"] for r in reports])),
         "sig_ref_recall_mean": float(np.mean(
             [r["signatures"]["ref_recall"] for r in reports])),
+        "sig_per_read_recall_mean": float(np.mean(
+            [r["signatures_per_read"]["per_read_recall"]
+             for r in reports])),
         "sig_our_precision_mean": float(np.mean(
             [r["signatures"]["our_precision"] for r in reports])),
         "group_ref_recall_mean": float(np.mean(

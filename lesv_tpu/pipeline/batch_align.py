@@ -225,8 +225,14 @@ def chain_and_align_many(
 
 
 def _apply_global_fallback(pairs, res, cfg: LesvConfig,
-                           frac: float = 0.85) -> None:
-    """Replace low-coverage anchored alignments with whole-span NW."""
+                           end_gap: int = 128) -> None:
+    """Replace low-coverage anchored alignments with whole-span NW.
+
+    The trigger is an ABSOLUTE unaligned-end test, not a fraction: a
+    2.6kb flank skipped off a 41kb read is 6% of the span but loses the
+    whole SV signature (the flank holds one side of the indel).  Any
+    end gap that could hide a >= min_indel_size event (plus anchor
+    slack) forces the reference-semantics whole-span NW."""
     from lesv_tpu.ops.align_batch import global_align_pairs_host
     from lesv_tpu.utils import profiling
 
@@ -234,8 +240,8 @@ def _apply_global_fallback(pairs, res, cfg: LesvConfig,
     for i, ((q, s), a) in enumerate(zip(pairs, res)):
         if len(q) == 0 or len(s) == 0:
             continue
-        if (a is None or (a.qe - a.qb) < frac * len(q)
-                or (a.se - a.sb) < frac * len(s)):
+        if (a is None or a.qb > end_gap or len(q) - a.qe > end_gap
+                or a.sb > end_gap or len(s) - a.se > end_gap):
             idxs.append(i)
     if not idxs:
         return

@@ -405,14 +405,14 @@ def map_all(
     if ckpt_dir:
         os.makedirs(ckpt_dir, exist_ok=True)
     vstore = store if sid_base == 0 else _VolStoreView(store, sid_base)
-    for bi, qids in enumerate(_query_batches(qstore, cfg)):
+
+    def run_one(bi: int, qids: list[int]) -> list[M4]:
         part = (os.path.join(ckpt_dir, f"{part_prefix}_{bi:05d}.npz")
                 if ckpt_dir else None)
         if part and os.path.exists(part):
             from lesv_tpu.pipeline import stages_io as sio
 
-            out.extend(sio.load_m4s(part))
-            continue
+            return sio.load_m4s(part)
         batch = [(qid, qstore.get(qid)) for qid in qids]
         m4s = map_batch(batch, vstore, index, cfg)
         if sid_base:
@@ -423,8 +423,38 @@ def map_all(
 
             sio.save_m4s(part + ".tmp.npz", m4s)
             os.replace(part + ".tmp.npz", part)
-        out.extend(m4s)
+        return m4s
+
+    batches = list(enumerate(_query_batches(qstore, cfg)))
+    depth = _map_overlap_depth()
+    if depth <= 1 or len(batches) <= 1:
+        for bi, qids in batches:
+            out.extend(run_one(bi, qids))
+        return out, qstore
+    # double-buffer batches: batch i+1's device seeding overlaps batch
+    # i's host window/extension phases (the tunnel round trips and the
+    # host CPU work interleave instead of strictly alternating)
+    import concurrent.futures as _fut
+
+    with _fut.ThreadPoolExecutor(max_workers=depth) as pool:
+        futs = [pool.submit(run_one, bi, qids) for bi, qids in batches]
+        for f in futs:
+            out.extend(f.result())
     return out, qstore
+
+
+def _map_overlap_depth() -> int:
+    """In-flight map batches.  >1 only on a real device: the XLA:CPU
+    compile path is flaky under concurrent churn (see verify notes),
+    and on CPU the fill is compute-bound anyway."""
+    import os
+
+    env = os.environ.get("LESV_TPU_MAP_OVERLAP")
+    if env:
+        return max(1, int(env))
+    import jax
+
+    return 2 if jax.default_backend() != "cpu" else 1
 
 
 class _VolStoreView:

@@ -75,7 +75,14 @@ def evaluate(calls, truth, refdist: int = 1000, len_ratio: float = 0.7):
                 gt_concordance=round(gt_ok / max(tp_all, 1), 4))
 
 
+_case_cache: dict[int, tuple] = {}
+
+
 def build_case(seed: int, args):
+    # memoized per seed: the sweep re-scores 100+ CallConfig combos over
+    # the same cached pipeline artifacts and must not re-simulate
+    if seed in _case_cache:
+        return _case_cache[seed]
     rng = np.random.default_rng(seed)
     if args.trf:
         genome, trf = repeat_genome(rng, args.genome,
@@ -96,7 +103,8 @@ def build_case(seed: int, args):
                               mean_len=args.mean_len, err=args.err))
     # re-name to avoid hap1/hap2 collisions
     reads = [(f"h{i % 2}_{n}", s) for i, (n, s) in enumerate(reads)]
-    return genome, trf, reads, truth
+    _case_cache[seed] = (genome, trf, reads, truth)
+    return _case_cache[seed]
 
 
 def run_case(seed: int, args, cfg: LesvConfig):
@@ -127,9 +135,13 @@ def recall_cached(seed: int, args, cfg: LesvConfig):
 
     genome, trf, reads, truth = build_case(seed, args)
     out = os.path.join(args.out, f"seed{seed}")
-    sstore = SeqStore.from_records([("chr1", genome)])
-    m4s = sio.load_m4s(os.path.join(out, "map.npz"))
-    remapped = sio.load_remapped(os.path.join(out, "remap.npz"))
+    key = ("art", seed)
+    if key not in _case_cache:
+        _case_cache[key] = (
+            SeqStore.from_records([("chr1", genome)]),
+            sio.load_m4s(os.path.join(out, "map.npz")),
+            sio.load_remapped(os.path.join(out, "remap.npz")))
+    sstore, m4s, remapped = _case_cache[key]
     best_span: dict[int, tuple[int, int, int, int]] = {}
     for m in m4s:
         cur = best_span.get(m.qid)

@@ -66,6 +66,10 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
         u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p]
+    i32p_ = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i16p_ = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.chain_v_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p_, i16p_, i32p_]
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.kmer_scan.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -236,6 +240,24 @@ def chain_extract(f: np.ndarray, p: np.ndarray, v: np.ndarray,
                       min_score, min_cnt, max_chains,
                       paths, bounds, scores, nc)
     return paths, bounds, scores, int(nc[0])
+
+
+def chain_v_batch(f: np.ndarray, p_rel: np.ndarray):
+    """Rebuild the chain-DP running-peak v from fetched (f, p_rel).
+
+    f (B, n) int32, p_rel (B, n) int16 relative predecessors; returns
+    v (B, n) int32 or None if the native library is unavailable."""
+    if _off("chain_v_batch"):
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    B, n = f.shape
+    f = np.ascontiguousarray(f, np.int32)
+    p_rel = np.ascontiguousarray(p_rel, np.int16)
+    v = np.empty((B, n), np.int32)
+    lib.chain_v_batch(B, n, f, p_rel, v)
+    return v
 
 
 def kmer_scan(codes: np.ndarray, k: int, stride: int, base: int):

@@ -522,6 +522,36 @@ void chain_extract(
     *n_chains = nc;
 }
 
+// Reconstruct the chain-DP running-peak array v from (f, p_rel) — the
+// scan kernel's carry (chain_jax._chain_scan_kernel: v_i =
+// max(v[pred], f_i) when a predecessor is taken, else f_i).  Fetching v
+// from the device costs 4 bytes/slot over the tunnel; this one pass
+// rebuilds it from what is already fetched.
+// f: (B, n) int32, p_rel: (B, n) int16 (0 = no predecessor, else the
+// predecessor is p_rel slots back), v out: (B, n) int32.
+void chain_v_batch(
+    int64_t B,
+    int64_t n,
+    const int32_t* f,
+    const int16_t* p_rel,
+    int32_t* v)
+{
+    for (int64_t b = 0; b < B; ++b) {
+        const int32_t* fb = f + b * n;
+        const int16_t* pb = p_rel + b * n;
+        int32_t* vb = v + b * n;
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t pr = pb[i];
+            if (pr > 0 && pr <= i) {
+                int32_t vp = vb[i - pr];
+                vb[i] = vp > fb[i] ? vp : fb[i];
+            } else {
+                vb[i] = fb[i];
+            }
+        }
+    }
+}
+
 }  // extern "C"
 
 // Anchored-core stitching: sanitize runs -> emit M/D/I ops, solve tiny

@@ -338,6 +338,45 @@ def _host_route(pairs, free_end: bool, on_cpu: bool) -> set[int]:
     return out
 
 
+def _chunk_prefers_host(pairs, chunk, W: int, mode: str,
+                        free_end: bool) -> bool:
+    """Cost-model reroute of a whole device chunk to the host pool.
+
+    On the tunneled chip a chunk's cost is dominated by the dirs-tensor
+    readback (Rq x W x lanes bytes at the measured ~25 MB/s d2h): a
+    near-empty chunk of one huge full-DP pair ships >100 MB of dirs for
+    ~10 Mcells of work the native fill does in ~0.2 s.  Route the chunk
+    host-side whenever the native fill (at the measured
+    LESV_TPU_HOST_CELL_RATE) beats the estimated dispatch + transfer."""
+    from lesv_tpu import native as _nat
+
+    if not _nat.available():
+        return False
+    d2h = float(os.environ.get("LESV_TPU_D2H_BPS", 25e6))
+    rate = float(os.environ.get("LESV_TPU_HOST_CELL_RATE", 7e7))
+    max_q = max(len(pairs[i][0]) for i in chunk)
+    Rq = 16
+    while Rq < max_q + 1:
+        Rq *= 4
+    n_live = len(chunk)
+    Bs = 8 if n_live <= 8 else 128 if n_live <= 128 else 1024
+    fill_cells = max_q * W * Bs
+    if os.environ.get("LESV_TPU_DEV_TB", "1") != "0":
+        # device traceback: fetch is (lanes x T) ops + the scan's
+        # ~0.09 us per lane-step (measured)
+        T = Rq + W
+        fetch_bytes = Bs * T
+        scan_cost = T * Bs * 0.09e-6
+    else:
+        fetch_bytes = Rq * W * Bs
+        scan_cost = 0.0
+    dev_cost = 0.05 + fetch_bytes / d2h + fill_cells / 25e9 + scan_cost
+    host_cells = sum(_host_cost(len(pairs[i][0]), len(pairs[i][1]),
+                                free_end) for i in chunk)
+    host_cost = host_cells / rate
+    return host_cost < dev_cost
+
+
 def _n_host_workers() -> int:
     n = os.environ.get("LESV_TPU_HOST_FILL_THREADS")
     if n:
@@ -440,6 +479,7 @@ def _align_pairs_jax(pairs, cfg, free_end):
     # task; a thread pool keeps several tunnel round trips in flight
     tasks = []
     di = 0
+    host_blocks = []
     for (Qm, Sm, W, mode), idxs in buckets.items():
         # homogeneous chunks: short segments together so the device-side
         # row slicing (Rq = pow2(max qlen in chunk)) stays tight
@@ -452,15 +492,21 @@ def _align_pairs_jax(pairs, cfg, free_end):
             # width (one executable per bucket)
             B = (1 if len(chunk) == 1 else 8 if len(chunk) <= 8 else
                  Bfix) if on_cpu else Bfix
+            if not on_cpu and _chunk_prefers_host(pairs, chunk, W, mode,
+                                                  free_end):
+                # split across the host pool's workers
+                step = -(-len(chunk) // _n_host_workers())
+                for st2 in range(0, len(chunk), step):
+                    host_blocks.append(chunk[st2 : st2 + step])
+                continue
             dev = devices[di % len(devices)] if len(devices) > 1 else None
             di += 1
             tasks.append((chunk, Qm, Sm, W, mode, B, dev))
 
-    host_blocks = []
     if hosted:
         hs = sorted(hosted)
         HB = 512
-        host_blocks = [hs[i : i + HB] for i in range(0, len(hs), HB)]
+        host_blocks += [hs[i : i + HB] for i in range(0, len(hs), HB)]
 
     nd = _n_dispatch_workers(on_cpu)
     if nd <= 1 and not host_blocks:

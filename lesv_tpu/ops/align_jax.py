@@ -242,6 +242,113 @@ def _fill_slice_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
     return (dirs, score[:Bs], end_i[:Bs], end_b[:Bs], ok[:Bs])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "mode", "free_end", "match", "mismatch", "go1",
+                     "ge1", "go2", "ge2", "use_p", "interp", "Rq", "Bs",
+                     "B_live"))
+def _fill_tb_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
+                 go1, ge1, go2, ge2, use_p, interp, Rq, Bs, B_live):
+    """Fill + dead-lane/row slicing + DEVICE traceback as ONE dispatch.
+
+    The readback shrinks from the (rows x W x lanes) dirs tensor to a
+    (lanes x T) ops array — the dirs d2h transfer was the dominant cost
+    of every big fill on the tunneled device."""
+    import jax.numpy as jnp
+
+    dirs, score, end_i, end_b, ok = _fill_slice_jit(
+        q, s, qlen, slen, W, mode, free_end, match, mismatch, go1, ge1,
+        go2, ge2, use_p, interp, Rq, Bs, B_live)
+    layout = "rwb" if use_p else "lane"
+    R = dirs.shape[0] if use_p else dirs.shape[1]
+    T = R + W + 2
+    ops, nops, reached = traceback_device(
+        dirs, end_i.astype(jnp.int32), end_b.astype(jnp.int32), ok, W,
+        mode, layout, T)
+    return ops, nops, reached, score, end_i, end_b, ok
+
+
+def traceback_device(dirs, end_i, end_b, ok, W: int, mode: str,
+                     layout: str, T: int):
+    """Device-side traceback (traced): a `lax.scan` of point gathers
+    over the dirs tensor — the d2h dirs fetch (tens of MB per chunk at
+    ~25 MB/s through the tunnel) collapses to a (B, T) ops fetch.
+
+    Bit-identical to :func:`traceback_batch`'s per-lane walk (same
+    state machine over the 3-bit source + 4 extension flags).  Returns
+    (ops (B, T) uint8 FORWARD order with OP_PAD tail, nops (B,),
+    reached (B,))."""
+    import jax.numpy as jnp
+
+    if layout == "rwb":
+        R, _, B = dirs.shape
+    elif layout == "lane":
+        B, R, _ = dirs.shape
+    else:  # row-major (R, B, W)
+        R, B, _ = dirs.shape
+    W2 = W // 2
+    d = 1 if mode == "diag" else 0
+    df = dirs.reshape(-1)
+    lanes = jnp.arange(B, dtype=jnp.int32)
+    i0 = end_i.astype(jnp.int32)
+    b0 = end_b.astype(jnp.int32)
+
+    def g_of(i):
+        return (i - W2) if mode == "diag" else jnp.zeros_like(i)
+
+    def step(carry, _):
+        i, b, st, n, done = carry
+        at_origin = (i <= 0) & (g_of(i) + b <= 0)
+        done = done | at_origin
+        ic = jnp.clip(i, 0, R - 1)
+        bc = jnp.clip(b, 0, W - 1)
+        if layout == "rwb":
+            flat = (ic * W + bc) * B + lanes
+        elif layout == "lane":
+            flat = lanes * (R * W) + ic * W + bc
+        else:
+            flat = (ic * B + lanes) * W + bc
+        byte = jnp.take(df, flat).astype(jnp.int32)
+        src = byte & 7
+        st_eff = jnp.where(st == 0, src, st)
+        is_m = st_eff == 0
+        is_e = (st_eff == 1) | (st_eff == 2)
+        is_f = (st_eff == 3) | (st_eff == 4)
+        op = jnp.where(is_m, OP_M,
+                       jnp.where(is_e, OP_D, OP_I)).astype(jnp.uint8)
+        act = ~done
+        out_op = jnp.where(act, op, np.uint8(OP_PAD))
+        eext = jnp.where(st_eff == 1, byte & 0x08, byte & 0x10) != 0
+        fext = jnp.where(st_eff == 3, byte & 0x20, byte & 0x40) != 0
+        ni = jnp.where(is_m | is_f, i - 1, i)
+        nb = jnp.where(is_m, b + d - 1, jnp.where(is_e, b - 1, b + d))
+        nst = jnp.where(is_m, 0,
+              jnp.where(is_e, jnp.where(eext, st_eff, 0),
+                        jnp.where(fext, st_eff, 0))).astype(st.dtype)
+        oob = (nb < 0) | (nb >= W) | (ni < 0)
+        i2 = jnp.where(act, ni, i)
+        b2 = jnp.where(act, nb, b)
+        st2 = jnp.where(act, nst, st)
+        n2 = jnp.where(act, n + 1, n)
+        reached_now = (i2 <= 0) & (g_of(i2) + b2 <= 0)
+        bad = act & oob & ~reached_now
+        done = done | bad
+        n2 = jnp.where(bad, 0, n2)
+        return (i2, b2, st2, n2, done), out_op
+
+    carry0 = (i0, b0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+              ~ok)
+    (i, b, _, n, _), ops_rev = jax.lax.scan(step, carry0, None, length=T)
+    reached = (i <= 0) & (g_of(i) + b <= 0) & ok & (n > 0)
+    # reverse each lane's prefix into forward order on device
+    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]
+    src_idx = jnp.clip(n[None, :] - 1 - t_idx, 0, T - 1)
+    ops_fwd = jnp.where(t_idx < n[None, :],
+                        jnp.take_along_axis(ops_rev, src_idx, axis=0),
+                        np.uint8(OP_PAD))
+    return ops_fwd.T, n, reached
+
+
 def traceback_batch(dirs: np.ndarray, end_i: np.ndarray, end_b: np.ndarray,
                     ok: np.ndarray, W: int, mode: str,
                     layout: str = "lane"):
@@ -346,6 +453,17 @@ def _use_pallas(B: int, Qmax: int, Smax: int, W: int,
     return pallas_supported(B, Qmax, Smax, W, free_end)
 
 
+@functools.partial(jax.jit, static_argnames=("W", "mode", "layout", "T"))
+def _mesh_tb_jit(dirs, end_i, end_b, ok, W, mode, layout, T):
+    """Device traceback over an (already computed) dirs tensor — the
+    follow-up program for the mesh-sharded fill path."""
+    import jax.numpy as jnp
+
+    return traceback_device(dirs, end_i.astype(jnp.int32),
+                            end_b.astype(jnp.int32), ok, W, mode,
+                            layout, T)
+
+
 def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
                           cfg: AlignConfig | None = None,
                           free_end: bool = False, device=None):
@@ -382,6 +500,10 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
     import os
 
     interp = os.environ.get("LESV_TPU_PALLAS") == "interp"
+    # device-side traceback: on by default off-CPU (the host traceback
+    # stays for the CPU backend, where dirs never cross a wire)
+    dev_tb = (os.environ.get("LESV_TPU_DEV_TB", "1") != "0"
+              and jax.default_backend() != "cpu")
     mesh = None
     if device is None:
         from lesv_tpu.parallel import mesh as meshmod
@@ -411,6 +533,18 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
             layout = "lane"
             Bs2 = dirs.shape[0]
             dirs = dirs[:, : min(Rq, dirs.shape[1])]
+        if dev_tb:
+            R = dirs.shape[0] if use_p else dirs.shape[1]
+            ops_d, nops_d, reach_d = _mesh_tb_jit(
+                dirs, end_i, end_b, ok, W=W, mode=mode, layout=layout,
+                T=R + W + 2)
+            for x in (ops_d, nops_d, reach_d, score, end_i, end_b, ok):
+                if hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
+            return dict(devtb=(ops_d, nops_d, reach_d), score=score,
+                        end_i=end_i, end_b=end_b, ok=ok, B=min(n_live, Bs2),
+                        B_orig=B, W=W, mode=mode, free_end=free_end,
+                        slen=slen[:Bs2])
     else:
         if use_p:
             Bp = -(-B // 8) * 8
@@ -424,6 +558,18 @@ def banded_align_dispatch(q, s, qlen, slen, W: int, mode: str,
             Bp = B
             layout = "lane"
         Bs2 = min(Bs, Bp)
+        if dev_tb:
+            ops_d, nops_d, reach_d, score, end_i, end_b, ok = _fill_tb_jit(
+                put(q), put(s), put(qlen), put(slen), W, mode, free_end,
+                cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
+                cfg.gap_open2, cfg.gap_ext2, use_p, interp, Rq, Bs2, B)
+            for x in (ops_d, nops_d, reach_d, score, end_i, end_b, ok):
+                if hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
+            return dict(devtb=(ops_d, nops_d, reach_d), score=score,
+                        end_i=end_i, end_b=end_b, ok=ok,
+                        B=min(n_live, Bs2), B_orig=B, W=W, mode=mode,
+                        free_end=free_end, slen=slen[:Bs2])
         dirs, score, end_i, end_b, ok = _fill_slice_jit(
             put(q), put(s), put(qlen), put(slen), W, mode, free_end,
             cfg.match, cfg.mismatch, cfg.gap_open1, cfg.gap_ext1,
@@ -447,15 +593,26 @@ def banded_align_finish(pend: dict):
 
     B, W, mode, free_end = (pend["B"], pend["W"], pend["mode"],
                             pend["free_end"])
-    with profiling.trace("align/fetch"):
-        dirs = np.asarray(pend["dirs"])
-        score = np.asarray(pend["score"])[:B]
-        end_i = np.asarray(pend["end_i"])
-        end_b = np.asarray(pend["end_b"])
-        ok = np.asarray(pend["ok"])
-    with profiling.trace("align/traceback"):
-        ops, nops, reached = traceback_batch(dirs, end_i, end_b, ok, W,
-                                             mode, layout=pend["layout"])
+    if "devtb" in pend:
+        with profiling.trace("align/fetch_ops"):
+            ops_d, nops_d, reach_d = pend["devtb"]
+            ops = np.asarray(ops_d)
+            nops = np.asarray(nops_d).astype(np.int64)
+            reached = np.asarray(reach_d)
+            score = np.asarray(pend["score"])[:B]
+            end_i = np.asarray(pend["end_i"])
+            end_b = np.asarray(pend["end_b"])
+            ok = np.asarray(pend["ok"])
+    else:
+        with profiling.trace("align/fetch"):
+            dirs = np.asarray(pend["dirs"])
+            score = np.asarray(pend["score"])[:B]
+            end_i = np.asarray(pend["end_i"])
+            end_b = np.asarray(pend["end_b"])
+            ok = np.asarray(pend["ok"])
+        with profiling.trace("align/traceback"):
+            ops, nops, reached = traceback_batch(
+                dirs, end_i, end_b, ok, W, mode, layout=pend["layout"])
     end_i = end_i[:B]
     end_b = end_b[:B]
     ok = ok[:B]

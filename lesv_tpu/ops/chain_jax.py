@@ -324,34 +324,53 @@ def chain_lanes(qoff, soff, valid, length: int,
         ]
 
 
-@functools.partial(jax.jit, static_argnames=("Mp",))
-def _slice_chain_jit(f, p_rel, v, qs, ss, Mp):
+@functools.partial(jax.jit,
+                   static_argnames=("Mp", "q16", "s16", "want_v"))
+def _slice_chain_jit(f, p_rel, v, qs, ss, Mp, q16, s16, want_v):
     """Slice chain-DP outputs to the live slot ladder ON DEVICE (one
     dispatch) before the host fetch — the fetch then moves Mp slots per
-    lane instead of the full match budget."""
-    return (f[:, :Mp], p_rel[:, :Mp].astype(jnp_int16()),
-            v[:, :Mp], qs[:, :Mp], ss[:, :Mp])
-
-
-def jnp_int16():
+    lane instead of the full match budget, p as int16, and the seed
+    offsets as uint16 when the pair dims bound them (the tunnel's d2h
+    bandwidth is the chain path's scarce resource).  ``want_v=False``
+    drops v from the fetch entirely (the host rebuilds it from (f, p)
+    with one native pass — invalid-tail values are never read)."""
     import jax.numpy as jnp
 
-    return jnp.int16
+    qs = qs[:, :Mp]
+    ss = ss[:, :Mp]
+    if q16:
+        qs = qs.astype(jnp.uint16)
+    if s16:
+        ss = ss.astype(jnp.uint16)
+    out = (f[:, :Mp], p_rel[:, :Mp].astype(jnp.int16), qs, ss)
+    if want_v:
+        out = out + (v[:, :Mp],)
+    return out
 
 
-def fetch_chain_sliced(f, p_rel, v, qs, ss, total, M: int, Mp: int):
+def fetch_chain_sliced(f, p_rel, v, qs, ss, total, M: int, Mp: int,
+                      q16: bool = False, s16: bool = False):
     """Device-slice to Mp slots, fetch, and rebuild (f, p, v, qs, ss,
     valid) host arrays.  ``valid`` is reconstructed from ``total`` (the
-    sorted valid slots are a prefix of length min(total, M))."""
-    f, p_rel, v, qs, ss = _slice_chain_jit(f, p_rel, v, qs, ss, Mp=Mp)
-    for x in (f, p_rel, v, qs, ss):
+    sorted valid slots are a prefix of length min(total, M));
+    ``q16``/``s16`` assert that valid qoff/soff values fit uint16."""
+    from lesv_tpu import native
+
+    want_v = not (native.available() and not native._off("chain_v_batch"))
+    sliced = _slice_chain_jit(f, p_rel, v, qs, ss, Mp=Mp, q16=q16,
+                              s16=s16, want_v=want_v)
+    for x in sliced:
         if hasattr(x, "copy_to_host_async"):
             x.copy_to_host_async()
-    f = np.asarray(f)
-    p_rel = np.asarray(p_rel).astype(np.int64)
-    v = np.asarray(v)
-    qs = np.asarray(qs).astype(np.int64)
-    ss = np.asarray(ss).astype(np.int64)
+    f = np.asarray(sliced[0])
+    p16 = np.asarray(sliced[1])
+    qs = np.asarray(sliced[2]).astype(np.int64)
+    ss = np.asarray(sliced[3]).astype(np.int64)
+    if want_v:
+        v = np.asarray(sliced[4])
+    else:
+        v = native.chain_v_batch(f, p16)
+    p_rel = p16.astype(np.int64)
     idx = np.arange(Mp, dtype=np.int64)[None, :]
     p = np.where(p_rel > 0, idx - p_rel, -1)
     p = np.where(p >= 0, p, -1)

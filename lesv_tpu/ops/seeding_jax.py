@@ -141,29 +141,6 @@ def _lex_searchsorted(key_hi, key_lo, q_hi, q_lo, n: int):
     return lo_i
 
 
-def _rowwise_searchsorted_right(cums, vals, n_cols: int):
-    """Per-row 'right' searchsorted: for each row b and value v, the
-    largest i with cums[b, i] <= v (cums row-sorted ascending).
-    cums: (B, N), vals: (B, M) -> (B, M) int32."""
-    import jax
-    import jax.numpy as jnp
-
-    B, M = vals.shape
-    iters = max(1, int(np.ceil(np.log2(max(n_cols, 2)))) + 1)
-    lo = jnp.zeros((B, M), jnp.int32)
-    hi = jnp.full((B, M), n_cols, jnp.int32)
-
-    def body(_, c):
-        lo, hi = c
-        mid = (lo + hi) >> 1
-        mv = jnp.take_along_axis(cums, jnp.minimum(mid, n_cols - 1), axis=1)
-        less_eq = (mv <= vals) & (mid < hi)
-        return jnp.where(less_eq, mid + 1, lo), jnp.where(less_eq, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return lo - 1      # index of the seed owning this slot
-
-
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("k", "max_occ", "M", "n_index", "lo_bits"))
@@ -194,21 +171,11 @@ def _seed_match_kernel(codes, qlen, offs, hash_hi, hash_lo, start,
     g_count = jnp.where(found & (g_count <= max_occ), g_count, 0)
 
     # budgeted expansion: slot m belongs to the seed whose cumsum range
-    # covers m
-    cums = jnp.cumsum(g_count, axis=1)                     # inclusive
-    total = cums[:, -1]
-    excl = cums - g_count                                  # exclusive
-    slots = jnp.arange(M, dtype=jnp.int32)[None, :]
-    slots_b = jnp.broadcast_to(slots, (B, M))
-    seed_of = _rowwise_searchsorted_right(excl, slots_b, nOff)
-    seed_of = jnp.clip(seed_of, 0, nOff - 1)
-    valid = slots_b < jnp.minimum(total, M)[:, None]
-    r = slots_b - jnp.take_along_axis(excl, seed_of, axis=1)
-    # r must land inside the seed's group (slots between groups cannot
-    # happen by construction, but clip for safety)
+    # covers m (merged-sort expansion, ops.pairseed_jax.expand_slots)
+    from lesv_tpu.ops.pairseed_jax import expand_slots
+
+    seed_of, r, valid, total = expand_slots(g_count, M)
     g_s = jnp.take_along_axis(g_start, seed_of, axis=1)
-    g_c = jnp.take_along_axis(g_count, seed_of, axis=1)
-    valid = valid & (r >= 0) & (r < g_c)
     pos_idx = jnp.clip(g_s + r, 0, positions.shape[0] - 1)
     soff = jnp.take(positions, pos_idx)
     qoff = jnp.take_along_axis(
@@ -271,12 +238,15 @@ def seed_matches_batch(
     jax.jit,
     static_argnames=("k", "max_occ", "M", "n_index", "J", "max_dq",
                      "max_dr", "bw", "use_pallas", "interp"))
-def _seed_chain_jit(codes, qlen, offs, hash_hi, hash_lo, start,
-                    positions, k, max_occ, M, n_index, J, max_dq,
+def _seed_chain_jit(codes_p, codes_amb, qlen, offs, hash_hi, hash_lo,
+                    start, positions, k, max_occ, M, n_index, J, max_dq,
                     max_dr, bw, use_pallas, interp):
-    """Fused windowed seeding + seed sort + chain scan (one dispatch)."""
+    """Fused windowed seeding + seed sort + chain scan (one dispatch);
+    read codes arrive 2-bit packed (pairseed_jax.pack_codes)."""
     from lesv_tpu.ops.chain_jax import sort_scan
+    from lesv_tpu.ops.pairseed_jax import unpack_codes
 
+    codes = unpack_codes(codes_p, codes_amb)
     qoff, soff, valid, total = _seed_match_kernel(
         codes, qlen, offs, hash_hi, hash_lo, start, positions,
         k=k, max_occ=max_occ, M=M, n_index=n_index)
@@ -322,9 +292,13 @@ def seed_chain_lanes_fused(
         codes[2 * i + 1, : len(r)] = revcomp(r)
         qlen[2 * i] = qlen[2 * i + 1] = len(r)
     offs = sampled_offsets_static(Qmax, di.k, scfg.query_stride, scfg)
+    from lesv_tpu.ops.pairseed_jax import pack_codes
+
+    codes_p, codes_amb = pack_codes(codes)
     with profiling.trace("map/seed_chain_fused"):
         f, p_rel, v, qs, ss, vs, total = _seed_chain_jit(
-            jnp.asarray(codes), jnp.asarray(qlen), jnp.asarray(offs),
+            jnp.asarray(codes_p), jnp.asarray(codes_amb),
+            jnp.asarray(qlen), jnp.asarray(offs),
             di.hash_hi, di.hash_lo, di.start, di.positions,
             k=di.k, max_occ=scfg.max_query_kmer_occ, M=M, n_index=di.n,
             J=J, max_dq=ccfg.max_dist_qry, max_dr=ccfg.max_dist_ref,
@@ -336,6 +310,6 @@ def seed_chain_lanes_fused(
     Mp = _shrink_M(total[: 2 * R], M)
     with profiling.trace("map/seed_chain_fetch"):
         f, p, v, qs, ss, valid = fetch_chain_sliced(
-            f, p_rel, v, qs, ss, total, M, Mp)
+            f, p_rel, v, qs, ss, total, M, Mp, q16=Qmax < 65536)
     lanes = extract_lanes(f[: 2 * R], p, v, qs, ss, valid, di.k, ccfg)
     return lanes, total

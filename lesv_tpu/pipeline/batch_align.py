@@ -56,14 +56,14 @@ def _host_route_pairs(pairs, on_cpu: bool) -> set[int]:
 
 
 def _shrink_M(total: np.ndarray, M: int, lo: int = 256) -> int:
-    """x4-ladder slot count covering every lane's (budget-clamped) match
+    """x2-ladder slot count covering every lane's (budget-clamped) match
     count; match buffers beyond it hold only invalid slots.  Coarse
     steps keep the number of (remotely) compiled chain-scan shapes
-    small."""
+    small while bounding fetched dead slots at 2x."""
     need = int(np.minimum(np.asarray(total), M).max(initial=0))
     Mp = lo
     while Mp < need:
-        Mp *= 4
+        Mp *= 2
     return min(Mp, M)
 
 

@@ -142,3 +142,61 @@ def test_align_pairs_wrapper():
         assert a is not None, i
         a.validate(q, s)
         assert a.qe == len(q) and a.se == len(s)
+
+
+def test_traceback_device_matches_host():
+    """The device-side traceback scan (align_jax.traceback_device) must
+    reproduce the host traceback walk bit for bit on random fills."""
+    import jax
+    import jax.numpy as jnp
+
+    from lesv_tpu.ops.align_jax import (
+        banded_align_kernel,
+        traceback_batch,
+        traceback_device,
+    )
+
+    rng = np.random.default_rng(13)
+    cfg = AlignConfig()
+    for mode, W, free_end in [("diag", 64, False), ("full", 128, False),
+                              ("diag", 64, True)]:
+        B, Qmax = 8, 192
+        Smax = Qmax + W if mode == "diag" else W - 1
+        q = np.zeros((B, Qmax), np.uint8)
+        s = np.zeros((B, Smax), np.uint8)
+        qlen = np.zeros(B, np.int32)
+        slen = np.zeros(B, np.int32)
+        for i in range(B):
+            ls = int(rng.integers(40, Smax))
+            si = rng.integers(0, 4, ls, dtype=np.uint8)
+            qi = mutate_read(rng, si, err=0.15)[: Qmax]
+            q[i, : len(qi)] = qi
+            s[i, : ls] = si
+            qlen[i] = len(qi)
+            slen[i] = ls
+        dirs, score, end_i, end_b, ok = jax.jit(
+            lambda a, b, c, d: banded_align_kernel(
+                a, b, c, d, W, mode, cfg, free_end=free_end)
+        )(jnp.asarray(q), jnp.asarray(s), jnp.asarray(qlen),
+          jnp.asarray(slen))
+        dirs_np = np.asarray(dirs)
+        end_i_np = np.asarray(end_i)
+        end_b_np = np.asarray(end_b)
+        ok_np = np.asarray(ok)
+        h_ops, h_n, h_reach = traceback_batch(
+            dirs_np, end_i_np, end_b_np, ok_np, W, mode, layout="lane")
+        T = dirs_np.shape[1] + W + 2
+        d_ops, d_n, d_reach = jax.jit(
+            lambda dd, ei, eb, okv: traceback_device(
+                dd, ei, eb, okv, W, mode, "lane", T)
+        )(dirs, end_i, end_b, ok)
+        d_ops = np.asarray(d_ops)
+        d_n = np.asarray(d_n)
+        d_reach = np.asarray(d_reach)
+        assert (h_reach == d_reach).all(), (mode, W, free_end)
+        for b in range(B):
+            if not h_reach[b]:
+                continue
+            n = int(h_n[b])
+            assert int(d_n[b]) == n, (mode, b)
+            assert (h_ops[b, :n] == d_ops[b, :n]).all(), (mode, b)

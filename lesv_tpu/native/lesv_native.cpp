@@ -242,14 +242,33 @@ void banded_fill(
 {
     const int64_t W2 = W / 2;
     const int64_t d = mode_diag ? 1 : 0;
-    int32_t* H   = new int32_t[W];
-    int32_t* F1  = new int32_t[W];
-    int32_t* F2  = new int32_t[W];
-    int32_t* Hp  = new int32_t[W];
-    int32_t* F1p = new int32_t[W];
-    int32_t* F2p = new int32_t[W];
-    int32_t* D   = new int32_t[W];   // diag candidate per cell
-    int32_t* PRE = new int32_t[W];   // Hpre = max(diag, F1, F2)
+    const int32_t M32 = (int32_t)match, X32 = (int32_t)(-mismatch);
+    const int32_t GO1E = (int32_t)(go1 + ge1), GE1 = (int32_t)ge1;
+    const int32_t GO2E = (int32_t)(go2 + ge2), GE2 = (int32_t)ge2;
+    const int32_t GO1 = (int32_t)go1, GO2 = (int32_t)go2;
+    // rows padded by one sentinel on each side so the +-1 shifted reads
+    // need no per-cell bounds checks (the shifts become plain unaligned
+    // vector loads under -O3/-march=native)
+    const int64_t Wp = W + 2;
+    int32_t* buf = new int32_t[6 * Wp];
+    for (int64_t t = 0; t < 6 * Wp; ++t) buf[t] = kNeg;
+    int32_t* __restrict__ H   = buf + 1;
+    int32_t* __restrict__ F1  = buf + Wp + 1;
+    int32_t* __restrict__ F2  = buf + 2 * Wp + 1;
+    int32_t* __restrict__ Hp  = buf + 3 * Wp + 1;
+    int32_t* __restrict__ F1p = buf + 4 * Wp + 1;
+    int32_t* __restrict__ F2p = buf + 5 * Wp + 1;
+    int32_t* __restrict__ D   = new int32_t[W];   // diag candidate
+    int32_t* __restrict__ PRE = new int32_t[W];   // max(diag, F1, F2)
+    int32_t* __restrict__ M1  = new int32_t[W];   // prefix max PRE+j*ge1
+    int32_t* __restrict__ M2  = new int32_t[W];
+    // subject padded so s[j-1] reads never leave the buffer (pad = 255,
+    // which matches no code)
+    const int64_t smax = (Q > S ? Q : S) + 2 * W + 8;
+    const int64_t soff0 = W2 + 2;              // spad[soff0 + t] = s[t]
+    uint8_t* spad = new uint8_t[smax + soff0];
+    std::memset(spad, 255, smax + soff0);
+    std::memcpy(spad + soff0, s, S);
 
     for (int64_t b = 0; b < W; ++b) {
         int64_t j = (mode_diag ? (0 - W2) : 0) + b;
@@ -266,36 +285,29 @@ void banded_fill(
     int64_t best_i = 0, best_b = mode_diag ? W2 : 0;
 
     for (int64_t i = 1; i <= Q; ++i) {
-        uint8_t* dr = dirs + i * W;
+        uint8_t* __restrict__ dr = dirs + i * W;
         const int64_t g = mode_diag ? (i - W2) : 0;
         const int32_t qc = q[i - 1];
-        std::memcpy(Hp, H, W * sizeof(int32_t));
-        std::memcpy(F1p, F1, W * sizeof(int32_t));
-        std::memcpy(F2p, F2, W * sizeof(int32_t));
-        // pass 1: diag, F, Hpre; store F-ext flags
+        std::swap(H, Hp);
+        std::swap(F1, F1p);
+        std::swap(F2, F2p);
+        const int32_t* __restrict__ hd_p  = Hp + (d ? 0 : -1);
+        const int32_t* __restrict__ hu_p  = Hp + d;
+        const int32_t* __restrict__ f1u_p = F1p + d;
+        const int32_t* __restrict__ f2u_p = F2p + d;
+        const uint8_t* __restrict__ srow = spad + soff0 - 1 + g;
+        // pass A (vectorizable): diag / F lanes / Hpre / F-ext flags /
+        // the prefix-max inputs
         for (int64_t b = 0; b < W; ++b) {
-            int64_t j = g + b;
-            int32_t hd = (d == 1) ? Hp[b] : (b >= 1 ? Hp[b - 1] : kNeg);
-            int32_t hu, f1u, f2u;
-            if (d == 1) {
-                hu  = (b + 1 < W) ? Hp[b + 1]  : kNeg;
-                f1u = (b + 1 < W) ? F1p[b + 1] : kNeg;
-                f2u = (b + 1 < W) ? F2p[b + 1] : kNeg;
-            } else {
-                hu = Hp[b]; f1u = F1p[b]; f2u = F2p[b];
-            }
-            int32_t diagv = kNeg;
-            if (j >= 1 && hd > kNeg / 2) {
-                uint8_t sc = (j <= S) ? s[j - 1] : (uint8_t)255;
-                diagv = hd + ((sc == qc) ? (int32_t)match
-                                         : (int32_t)(-mismatch));
-            }
-            int32_t f1a = hu - (int32_t)(go1 + ge1);
-            int32_t f1b = f1u - (int32_t)ge1;
-            int32_t f1 = f1a > f1b ? f1a : f1b;
-            int32_t f2a = hu - (int32_t)(go2 + ge2);
-            int32_t f2b = f2u - (int32_t)ge2;
-            int32_t f2 = f2a > f2b ? f2a : f2b;
+            int32_t hd = hd_p[b];
+            int32_t sub = (srow[b] == (uint8_t)qc) ? M32 : X32;
+            int32_t diagv = (hd > kNeg / 2) ? hd + sub : kNeg;
+            int32_t f1b_ = f1u_p[b] - GE1;
+            int32_t f1 = hu_p[b] - GO1E;
+            if (f1b_ > f1) f1 = f1b_;
+            int32_t f2b_ = f2u_p[b] - GE2;
+            int32_t f2 = hu_p[b] - GO2E;
+            if (f2b_ > f2) f2 = f2b_;
             F1[b] = f1;
             F2[b] = f2;
             D[b] = diagv;
@@ -304,51 +316,93 @@ void banded_fill(
             if (f2 > hpre) hpre = f2;
             PRE[b] = hpre;
             uint8_t byte = 0;
-            if (f1 == f1b) byte |= 0x20;
-            if (f2 == f2b) byte |= 0x40;
+            if (f1 == f1b_) byte |= 0x20;
+            if (f2 == f2b_) byte |= 0x40;
             dr[b] = byte;
+            int32_t j32 = (int32_t)(g + b);
+            M1[b] = (hpre > kNeg / 2) ? hpre + j32 * GE1 : kNeg;
+            M2[b] = (hpre > kNeg / 2) ? hpre + j32 * GE2 : kNeg;
         }
-        // pass 2: within-row E via running max, then combine
-        int64_t run1 = kNeg, run2 = kNeg;
-        int32_t e1prev = kNeg, e2prev = kNeg;
-        for (int64_t b = 0; b < W; ++b) {
-            int64_t j = g + b;
-            int32_t e1 = (b > 0 && run1 > (int64_t)kNeg / 2)
-                ? (int32_t)(run1 - go1 - j * ge1) : kNeg;
-            int32_t e2 = (b > 0 && run2 > (int64_t)kNeg / 2)
-                ? (int32_t)(run2 - go2 - j * ge2) : kNeg;
-            uint8_t byte = dr[b];
-            bool e1ext = (b == 0) || (e1 == e1prev - (int32_t)ge1);
-            bool e2ext = (b == 0) || (e2 == e2prev - (int32_t)ge2);
-            if (e1ext) byte |= 0x08;
-            if (e2ext) byte |= 0x10;
-            int32_t h = PRE[b];
+        // pass B: the only sequential dependency — 2 maxes per cell
+        {
+            int32_t r1 = kNeg, r2 = kNeg;
+            for (int64_t b = 0; b < W; ++b) {
+                r1 = M1[b] > r1 ? M1[b] : r1;
+                M1[b] = r1;
+                r2 = M2[b] > r2 ? M2[b] : r2;
+                M2[b] = r2;
+            }
+        }
+        // pass C (vectorizable): E lanes from the prefix max, combine,
+        // source bytes.  e1(b) = M1[b-1] - go1 - j*ge1; the extension
+        // flag reduces to "no new prefix max at b-1" (see traceback).
+        {
+            // b == 0 cell (E invalid, ext flags set as in the scan)
+            int64_t j0 = g;
+            int32_t h0 = PRE[0];
+            bool inb0 = j0 >= 0 && j0 <= S;
+            if (!inb0) h0 = kNeg;
+            // source priority diag, E1, E2, F1, F2; e1 == e2 == kNeg
+            // here, so h == kNeg selects E1 first (scalar-chain parity)
+            uint8_t src0;
+            if (h0 == D[0]) src0 = 0;
+            else if (h0 == kNeg) src0 = 1;
+            else if (h0 == F1[0]) src0 = 3;
+            else src0 = 4;
+            dr[0] = (uint8_t)(dr[0] | src0 | 0x18);
+            H[0] = h0;
+            if (free_end && inb0 && h0 > best) {
+                best = h0; best_i = i; best_b = 0;
+            }
+        }
+        // b == 1 peeled (no M[b-2]); then a branchless vector body
+        if (W > 1) {
+            int32_t j32 = (int32_t)(g + 1);
+            int32_t m1 = M1[0], m2 = M2[0];
+            int32_t e1 = (m1 > kNeg / 2) ? m1 - GO1 - j32 * GE1 : kNeg;
+            int32_t e2 = (m2 > kNeg / 2) ? m2 - GO2 - j32 * GE2 : kNeg;
+            int32_t h = PRE[1];
             if (e1 > h) h = e1;
             if (e2 > h) h = e2;
-            bool inb = j >= 0 && j <= S;
-            if (!inb) h = kNeg;
-            // priority: diag, E1, E2, F1, F2 (matches the jnp.where chain)
+            if (!((g + 1) >= 0 && (g + 1) <= S)) h = kNeg;
             uint8_t src;
-            if (h == D[b]) src = 0;
+            if (h == D[1]) src = 0;
             else if (h == e1) src = 1;
             else if (h == e2) src = 2;
-            else if (h == F1[b]) src = 3;
+            else if (h == F1[1]) src = 3;
             else src = 4;
-            dr[b] = byte | src;
+            dr[1] = (uint8_t)(dr[1] | src);
+            H[1] = h;
+        }
+        const int32_t Slim = (int32_t)S;
+        
+#pragma omp simd
+        for (int64_t b = 2; b < W; ++b) {
+            int32_t j32 = (int32_t)(g + b);
+            int32_t m1 = M1[b - 1];
+            int32_t m2 = M2[b - 1];
+            int32_t e1 = (m1 > kNeg / 2) ? m1 - GO1 - j32 * GE1 : kNeg;
+            int32_t e2 = (m2 > kNeg / 2) ? m2 - GO2 - j32 * GE2 : kNeg;
+            int32_t ext = ((M1[b - 2] > kNeg / 2) & (m1 == M1[b - 2]))
+                              ? 0x08 : 0;
+            ext |= ((M2[b - 2] > kNeg / 2) & (m2 == M2[b - 2]))
+                       ? 0x10 : 0;
+            int32_t h = PRE[b];
+            h = (e1 > h) ? e1 : h;
+            h = (e2 > h) ? e2 : h;
+            h = ((j32 >= 0) & (j32 <= Slim)) ? h : kNeg;
+            int32_t src = (h == D[b]) ? 0
+                        : (h == e1) ? 1
+                        : (h == e2) ? 2
+                        : (h == F1[b]) ? 3 : 4;
+            dr[b] = (uint8_t)(dr[b] | ext | src);
             H[b] = h;
-            e1prev = e1;
-            e2prev = e2;
-            // running max uses THIS cell's Hpre (E enters at k < j)
-            if (PRE[b] > kNeg / 2) {
-                int64_t v1 = (int64_t)PRE[b] + j * ge1;
-                if (v1 > run1) run1 = v1;
-                int64_t v2 = (int64_t)PRE[b] + j * ge2;
-                if (v2 > run2) run2 = v2;
-            }
-            if (free_end && inb && h > best) {
-                best = h;
-                best_i = i;
-                best_b = b;
+        }
+        if (free_end) {
+            for (int64_t b = 1; b < W; ++b) {
+                if (H[b] > best) {
+                    best = H[b]; best_i = i; best_b = b;
+                }
             }
         }
     }
@@ -370,9 +424,10 @@ void banded_fill(
     *out_end_b = end_b;
     *out_ok = (end_b >= 0 && end_b < W && score > kNeg / 2) ? 1 : 0;
 
-    delete[] H; delete[] F1; delete[] F2;
-    delete[] Hp; delete[] F1p; delete[] F2p;
+    delete[] buf;
     delete[] D; delete[] PRE;
+    delete[] M1; delete[] M2;
+    delete[] spad;
 }
 
 // Alignment traceback over direction bytes (see ops/align_jax.py

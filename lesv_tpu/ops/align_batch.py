@@ -353,7 +353,7 @@ def _chunk_prefers_host(pairs, chunk, W: int, mode: str,
     if not _nat.available():
         return False
     d2h = float(os.environ.get("LESV_TPU_D2H_BPS", 25e6))
-    rate = float(os.environ.get("LESV_TPU_HOST_CELL_RATE", 7e7))
+    rate = float(os.environ.get("LESV_TPU_HOST_CELL_RATE", 3e8))
     max_q = max(len(pairs[i][0]) for i in chunk)
     Rq = 16
     while Rq < max_q + 1:

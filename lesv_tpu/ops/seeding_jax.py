@@ -57,9 +57,14 @@ def sampled_offsets_static(Qmax: int, k: int, window: int,
         dtype=np.int32)
 
 
+_PREFIX_BITS = 18
+
+
 class DeviceIndex:
     """Device-resident view of a :class:`KmerIndex` (replicated per host,
-    SURVEY §2.6): hash limbs + grouped positions + group starts."""
+    SURVEY §2.6): hash limbs + grouped positions + group starts, plus a
+    dense prefix table that caps the device binary search at the max
+    bucket depth (log2(n) gather rounds -> ~4)."""
 
     def __init__(self, index: KmerIndex):
         import jax.numpy as jnp
@@ -75,6 +80,17 @@ class DeviceIndex:
         assert len(index.positions) < 2**31
         self.start = jnp.asarray(index.start.astype(np.int32))
         self.positions = jnp.asarray(index.positions.astype(np.uint32))
+        # prefix table: pre[t] = first index slot whose hash has top
+        # prefix >= t (host-built, 2^P+1 int32 entries on device)
+        P = min(_PREFIX_BITS, 2 * self.k)
+        self.prefix_bits = P
+        self.prefix_shift = 2 * self.k - P
+        pre = np.searchsorted(h >> self.prefix_shift,
+                              np.arange((1 << P) + 1, dtype=np.int64))
+        self.prefix = jnp.asarray(pre.astype(np.int32))
+        # deepest bucket bounds the per-query binary search
+        depth = int((pre[1:] - pre[:-1]).max(initial=1))
+        self.bucket_rounds = max(1, int(np.ceil(np.log2(max(depth, 2)))) + 1)
 
     def cache_key(self):
         return (self.k, self.window, self.n)
@@ -118,15 +134,19 @@ def _hash_limbs(codes, k: int):
     return hi, lo, ok
 
 
-def _lex_searchsorted(key_hi, key_lo, q_hi, q_lo, n: int):
+def _lex_searchsorted(key_hi, key_lo, q_hi, q_lo, n: int,
+                      lo0=None, hi0=None, iters: int | None = None):
     """Lower-bound index of (q_hi, q_lo) in the sorted (key_hi, key_lo)
-    limb arrays; fori_loop binary search, fully batched."""
+    limb arrays; fori_loop binary search, fully batched.  ``lo0/hi0``
+    seed the search range (the prefix-table fast path) and ``iters``
+    caps the gather rounds to the max range width."""
     import jax
     import jax.numpy as jnp
 
-    iters = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    lo_i = jnp.zeros_like(q_hi)
-    hi_i = jnp.full_like(q_hi, n)
+    if iters is None:
+        iters = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    lo_i = jnp.zeros_like(q_hi) if lo0 is None else lo0
+    hi_i = jnp.full_like(q_hi, n) if hi0 is None else hi0
 
     def body(_, c):
         lo_i, hi_i = c
@@ -143,14 +163,19 @@ def _lex_searchsorted(key_hi, key_lo, q_hi, q_lo, n: int):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("k", "max_occ", "M", "n_index", "lo_bits"))
+    static_argnames=("k", "max_occ", "M", "n_index", "lo_bits",
+                     "prefix_shift", "bucket_rounds"))
 def _seed_match_kernel(codes, qlen, offs, hash_hi, hash_lo, start,
                        positions, k: int, max_occ: int, M: int,
-                       n_index: int, lo_bits: int = _LO_BITS):
+                       n_index: int, lo_bits: int = _LO_BITS,
+                       prefix=None, prefix_shift: int = 0,
+                       bucket_rounds: int = 0):
     """Device seeding: (B, Qmax) codes -> padded (B, M) match arrays.
 
     Returns (qoff (B,M) i32, soff (B,M) u32, valid (B,M) bool,
-    total (B,) i32 pre-truncation match counts)."""
+    total (B,) i32 pre-truncation match counts).  With ``prefix`` (the
+    DeviceIndex dense prefix table) the index lookup is 2 gathers plus
+    ``bucket_rounds`` binary rounds instead of log2(n_index)."""
     import jax.numpy as jnp
 
     B, Q = codes.shape
@@ -161,7 +186,18 @@ def _seed_match_kernel(codes, qlen, offs, hash_hi, hash_lo, start,
     q_hi, q_lo, q_ok = take(hi), take(lo), take(okp)
     q_ok = q_ok & (offs[None, :] + k <= qlen[:, None])
 
-    idx = _lex_searchsorted(hash_hi, hash_lo, q_hi, q_lo, n_index)
+    if prefix is not None:
+        if prefix_shift >= lo_bits:
+            t = q_hi >> (prefix_shift - lo_bits)
+        else:
+            t = ((q_hi << (lo_bits - prefix_shift))
+                 | (q_lo >> prefix_shift))
+        lo0 = jnp.take(prefix, t)
+        hi0 = jnp.take(prefix, t + 1)
+        idx = _lex_searchsorted(hash_hi, hash_lo, q_hi, q_lo, n_index,
+                                lo0=lo0, hi0=hi0, iters=bucket_rounds)
+    else:
+        idx = _lex_searchsorted(hash_hi, hash_lo, q_hi, q_lo, n_index)
     idx_c = jnp.minimum(idx, max(n_index - 1, 0))
     found = (q_ok & (idx < n_index)
              & (jnp.take(hash_hi, idx_c) == q_hi)
@@ -230,17 +266,21 @@ def seed_matches_batch(
     qoff, soff, valid, total = _seed_match_kernel(
         jnp.asarray(codes), jnp.asarray(qlen), jnp.asarray(offs),
         di.hash_hi, di.hash_lo, di.start, di.positions,
-        k=di.k, max_occ=cfg.max_query_kmer_occ, M=M, n_index=di.n)
+        k=di.k, max_occ=cfg.max_query_kmer_occ, M=M, n_index=di.n,
+        prefix=di.prefix, prefix_shift=di.prefix_shift,
+        bucket_rounds=di.bucket_rounds)
     return qoff, soff, valid, total
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "max_occ", "M", "n_index", "J", "max_dq",
-                     "max_dr", "bw", "use_pallas", "interp"))
+                     "max_dr", "bw", "use_pallas", "interp",
+                     "prefix_shift", "bucket_rounds"))
 def _seed_chain_jit(codes_p, codes_amb, qlen, offs, hash_hi, hash_lo,
-                    start, positions, k, max_occ, M, n_index, J, max_dq,
-                    max_dr, bw, use_pallas, interp):
+                    start, positions, prefix, k, max_occ, M, n_index, J,
+                    max_dq, max_dr, bw, use_pallas, interp,
+                    prefix_shift, bucket_rounds):
     """Fused windowed seeding + seed sort + chain scan (one dispatch);
     read codes arrive 2-bit packed (pairseed_jax.pack_codes)."""
     from lesv_tpu.ops.chain_jax import sort_scan
@@ -249,7 +289,8 @@ def _seed_chain_jit(codes_p, codes_amb, qlen, offs, hash_hi, hash_lo,
     codes = unpack_codes(codes_p, codes_amb)
     qoff, soff, valid, total = _seed_match_kernel(
         codes, qlen, offs, hash_hi, hash_lo, start, positions,
-        k=k, max_occ=max_occ, M=M, n_index=n_index)
+        k=k, max_occ=max_occ, M=M, n_index=n_index, prefix=prefix,
+        prefix_shift=prefix_shift, bucket_rounds=bucket_rounds)
     f, p_rel, v, qs, ss, vs = sort_scan(
         qoff, soff, valid, J, k, max_dq, max_dr, bw, use_pallas, interp)
     return f, p_rel, v, qs, ss, vs, total
@@ -299,11 +340,13 @@ def seed_chain_lanes_fused(
         f, p_rel, v, qs, ss, vs, total = _seed_chain_jit(
             jnp.asarray(codes_p), jnp.asarray(codes_amb),
             jnp.asarray(qlen), jnp.asarray(offs),
-            di.hash_hi, di.hash_lo, di.start, di.positions,
+            di.hash_hi, di.hash_lo, di.start, di.positions, di.prefix,
             k=di.k, max_occ=scfg.max_query_kmer_occ, M=M, n_index=di.n,
             J=J, max_dq=ccfg.max_dist_qry, max_dr=ccfg.max_dist_ref,
             bw=ccfg.max_band_width, use_pallas=_use_pallas_scan(),
-            interp=os.environ.get("LESV_TPU_PALLAS") == "interp")
+            interp=os.environ.get("LESV_TPU_PALLAS") == "interp",
+            prefix_shift=di.prefix_shift,
+            bucket_rounds=di.bucket_rounds)
     total = np.asarray(total)                # tiny: (B,) i32
     from lesv_tpu.pipeline.batch_align import _shrink_M
 

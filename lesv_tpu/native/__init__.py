@@ -70,6 +70,15 @@ def _load():
     i16p_ = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.chain_v_batch.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i32p_, i16p_, i32p_]
+    lib.fccns_walk.argtypes = [
+        ctypes.c_int64, i64p, i32p_, i32p_, ctypes.c_int64,
+        ctypes.c_int64, u8p, i64p]
+    lib.fccns_walk.restype = ctypes.c_int64
+    lib.banded_align_batch_host.argtypes = [
+        ctypes.c_int64, u8p, i64p, i64p, u8p, i64p, i64p, i64p, u8p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, u8p, i64p, i64p, i32p_, i64p,
+        i64p, u8p]
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.kmer_scan.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -240,6 +249,72 @@ def chain_extract(f: np.ndarray, p: np.ndarray, v: np.ndarray,
                       min_score, min_cnt, max_chains,
                       paths, bounds, scores, nc)
     return paths, bounds, scores, int(nc[0])
+
+
+def fccns_walk(start_col: int, best_pred: np.ndarray,
+               col_base: np.ndarray, col_tpos: np.ndarray,
+               gap_code: int):
+    """Native consensus traceback walk.
+
+    Returns (codes forward uint8, cns_from) or None if unavailable."""
+    if _off("fccns_walk"):
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(best_pred)
+    out = np.empty(max(n, 1), np.uint8)
+    frm = np.zeros(1, np.int64)
+    m = lib.fccns_walk(start_col,
+                       np.ascontiguousarray(best_pred, np.int64),
+                       np.ascontiguousarray(col_base, np.int32),
+                       np.ascontiguousarray(col_tpos, np.int32),
+                       n, gap_code, out, frm)
+    return out[:m][::-1].copy(), int(frm[0])
+
+
+def banded_align_batch_host(pairs, W0: np.ndarray, free_end: np.ndarray,
+                            match: int, mismatch: int, go1: int,
+                            ge1: int, go2: int, ge2: int):
+    """Batched native fill + traceback (+ band-widening retries) for many
+    (q, s) pairs in ONE ctypes call.
+
+    Returns (ops_flat u8, ops_off i64, nops i64, score i32, qe, se,
+    ok u8) or None if the native library is unavailable; pair i's ops
+    are ops_flat[ops_off[i] : ops_off[i] + nops[i]]."""
+    if _off("banded_align_batch_host"):
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(pairs)
+    qlens = np.asarray([len(q) for q, _ in pairs], np.int64)
+    slens = np.asarray([len(s) for _, s in pairs], np.int64)
+    qoffs = np.zeros(n + 1, np.int64)
+    soffs = np.zeros(n + 1, np.int64)
+    np.cumsum(qlens, out=qoffs[1:])
+    np.cumsum(slens, out=soffs[1:])
+    qbuf = np.empty(max(int(qoffs[-1]), 1), np.uint8)
+    sbuf = np.empty(max(int(soffs[-1]), 1), np.uint8)
+    for i, (q, s) in enumerate(pairs):
+        qbuf[qoffs[i] : qoffs[i + 1]] = q
+        sbuf[soffs[i] : soffs[i + 1]] = s
+    caps = qlens + slens + 2
+    ops_off = np.zeros(n + 1, np.int64)
+    np.cumsum(caps, out=ops_off[1:])
+    ops_flat = np.full(max(int(ops_off[-1]), 1), 255, np.uint8)
+    nops = np.zeros(n, np.int64)
+    score = np.zeros(n, np.int32)
+    qe = np.zeros(n, np.int64)
+    se = np.zeros(n, np.int64)
+    okv = np.zeros(n, np.uint8)
+    lib.banded_align_batch_host(
+        n, qbuf, qoffs[:n].copy(), qlens, sbuf, soffs[:n].copy(), slens,
+        np.ascontiguousarray(W0, np.int64),
+        np.ascontiguousarray(free_end, np.uint8),
+        match, mismatch, go1, ge1, go2, ge2,
+        ops_flat, ops_off, nops, score, qe, se, okv)
+    return ops_flat, ops_off, nops, score, qe, se, okv
 
 
 def chain_v_batch(f: np.ndarray, p_rel: np.ndarray):

@@ -577,6 +577,98 @@ void chain_extract(
     *n_chains = nc;
 }
 
+// fccns consensus traceback: walk best_pred from the argmax column,
+// collecting non-gap bases (ops/consensus.py consensus_from_tags's
+// python while-loop — ~8k python iterations per template otherwise).
+// Returns the walk length; bases come out REVERSED (caller flips).
+int64_t fccns_walk(
+    int64_t start_col,
+    const int64_t* best_pred,
+    const int32_t* col_base,    // col_tdb[:, 2]
+    const int32_t* col_tpos,    // col_tdb[:, 0]
+    int64_t n_cols,
+    int64_t gap_code,
+    uint8_t* out_rev,           // caller-sized to n_cols
+    int64_t* cns_from)          // out: t_pos of the last visited column
+{
+    int64_t m = 0;
+    int64_t cur = start_col;
+    int64_t from = 0;
+    while (cur >= 0 && cur < n_cols) {
+        int32_t b = col_base[cur];
+        from = col_tpos[cur];
+        if (b != gap_code) out_rev[m++] = (uint8_t)b;
+        cur = best_pred[cur];
+    }
+    *cns_from = from;
+    return m;
+}
+
+// Batched host alignment: per pair, banded_fill + traceback with the
+// band-widening retry loop folded in.  One ctypes call per block — the
+// per-call python/ctypes overhead (~0.3 ms) dominated the actual fill
+// (~10 us) for the tens of thousands of small inter-anchor segments a
+// consensus wave produces.
+void banded_align_batch_host(
+    int64_t n,
+    const uint8_t* qbuf, const int64_t* qoffs, const int64_t* qlens,
+    const uint8_t* sbuf, const int64_t* soffs, const int64_t* slens,
+    const int64_t* W0, const uint8_t* free_end,
+    int64_t match, int64_t mismatch,
+    int64_t go1, int64_t ge1, int64_t go2, int64_t ge2,
+    uint8_t* ops_out, const int64_t* ops_off,
+    int64_t* nops_out, int32_t* score_out,
+    int64_t* qe_out, int64_t* se_out, uint8_t* ok_out)
+{
+    std::vector<uint8_t> dirs;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* q = qbuf + qoffs[i];
+        const uint8_t* s = sbuf + soffs[i];
+        const int64_t Q = qlens[i], S = slens[i];
+        ok_out[i] = 0;
+        nops_out[i] = 0;
+        if (Q <= 0 || S <= 0) continue;
+        int64_t W = W0[i];
+        const int64_t fe = free_end[i] ? 1 : 0;
+        for (;;) {
+            const int64_t mode_diag = (W < S + 1) ? 1 : 0;
+            if ((int64_t)dirs.size() < (Q + 1) * W)
+                dirs.resize((Q + 1) * W);
+            int32_t score;
+            int64_t ei, eb;
+            uint8_t okf;
+            banded_fill(Q, S, q, s, W, mode_diag, match, mismatch,
+                        go1, ge1, go2, ge2, fe,
+                        dirs.data(), &score, &ei, &eb, &okf);
+            bool got = false;
+            if (okf) {
+                const int64_t W2 = mode_diag ? W / 2 : 0;
+                const int64_t g = mode_diag ? ei - W2 : 0;
+                int64_t T = ei + std::max<int64_t>(g + eb, 0) + 2;
+                const int64_t cap = ops_off[i + 1] - ops_off[i];
+                if (T > cap) T = cap;
+                uint8_t* ops = ops_out + ops_off[i];
+                int64_t nops;
+                uint8_t reached;
+                traceback_batch(1, Q + 1, W, dirs.data(), (Q + 1) * W,
+                                W, 1, &ei, &eb, &okf, mode_diag, T,
+                                ops, &nops, &reached);
+                if (reached) {
+                    nops_out[i] = nops;
+                    score_out[i] = score;
+                    qe_out[i] = fe ? ei : Q;
+                    se_out[i] = fe ? g + eb : S;
+                    ok_out[i] = 1;
+                    got = true;
+                }
+            }
+            if (got) break;
+            if (!(W < S + 1)) break;
+            W = std::min(W * 2, S + 1);
+        }
+    }
+}
+
 // Reconstruct the chain-DP running-peak array v from (f, p_rel) — the
 // scan kernel's carry (chain_jax._chain_scan_kernel: v_i =
 // max(v[pred], f_i) when a predecessor is taken, else f_i).  Fetching v

@@ -169,12 +169,12 @@ def global_align_pairs_host(
     from lesv_tpu.ops.cigar import trim_to_exact_match
 
     cfg = cfg or AlignConfig()
-    out: list[Alignment | None] = []
-    for q, s in pairs:
+
+    def one(pair):
+        q, s = pair
         lq, ls = len(q), len(s)
         if lq == 0 or ls == 0:
-            out.append(None)
-            continue
+            return None
         W = min(ls + 1, _next_pow2(2 * abs(ls - lq) + 1024, lo=256,
                                    hi=1 << 17))
         a: Alignment | None = None
@@ -195,8 +195,16 @@ def global_align_pairs_host(
             W = min(W * 2, ls + 1)
         if a is not None:
             a = trim_to_exact_match(a, q, s, cfg.end_match_len)
-        out.append(a)
-    return out
+        return a
+
+    if len(pairs) > 1 and _nat.available():
+        # ctypes releases the GIL: spread the whole-span NWs over cores
+        import concurrent.futures as _fut
+
+        with _fut.ThreadPoolExecutor(
+                max_workers=_n_host_workers()) as pool:
+            return list(pool.map(one, pairs))
+    return [one(p) for p in pairs]
 
 
 def align_pairs_host(
@@ -214,43 +222,41 @@ def align_pairs_host(
     return _align_pairs_np(pairs, cfg, free_end)
 
 
+def _init_band(lq: int, ls: int, free_end: bool) -> int:
+    if free_end:
+        return min(max(128, lq // 2), ls + 1)
+    pad = _seg_pad(lq, ls)
+    need = 2 * (abs(ls - lq) + 2 * pad)
+    return need if need < ls + 1 else ls + 1
+
+
 def _align_pairs_native(pairs, cfg, free_end):
-    """Per-pair native C++ fill + traceback (host path)."""
+    """Native C++ fill + traceback (host path), one batched ctypes call
+    per block — per-call marshaling overhead would otherwise dominate
+    the tiny inter-anchor segment fills."""
     from lesv_tpu import native
 
-    out: list[Alignment | None] = []
-    for q, s in pairs:
-        lq, ls = len(q), len(s)
-        if lq == 0 or ls == 0:
-            out.append(None)
+    out: list[Alignment | None] = [None] * len(pairs)
+    live = [i for i, (q, s) in enumerate(pairs)
+            if len(q) > 0 and len(s) > 0]
+    if not live:
+        return out
+    lp = [pairs[i] for i in live]
+    W0 = np.asarray([_init_band(len(q), len(s), free_end)
+                     for q, s in lp], np.int64)
+    fe = np.full(len(lp), 1 if free_end else 0, np.uint8)
+    r = native.banded_align_batch_host(
+        lp, W0, fe, cfg.match, cfg.mismatch, cfg.gap_open1,
+        cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2)
+    if r is None:                    # native lib unavailable
+        return _align_pairs_np(pairs, cfg, free_end)
+    ops_flat, ops_off, nops, score, qe, se, okv = r
+    for j, i in enumerate(live):
+        if not okv[j]:
             continue
-        if free_end:
-            W = min(max(128, lq // 2), ls + 1)
-            mode_diag = W < ls + 1
-        else:
-            pad = _seg_pad(lq, ls)
-            need = 2 * (abs(ls - lq) + 2 * pad)
-            if need >= ls + 1:
-                W = ls + 1
-                mode_diag = False
-            else:
-                W = need
-                mode_diag = True
-        a = None
-        while a is None:
-            r = native.banded_align_one(
-                q, s, int(W), mode_diag, cfg.match, cfg.mismatch,
-                cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2,
-                free_end)
-            if r is not None:
-                ops, score, qe, se = r
-                a = Alignment(0, qe, 0, se, ops, score=score)
-                break
-            if not mode_diag or W >= ls + 1:
-                break
-            W = min(W * 2, ls + 1)
-            mode_diag = W < ls + 1
-        out.append(a)
+        ops = ops_flat[ops_off[j] : ops_off[j] + nops[j]].copy()
+        out[i] = Alignment(0, int(qe[j]), 0, int(se[j]), ops,
+                           score=int(score[j]))
     return out
 
 
@@ -317,8 +323,12 @@ def _host_route(pairs, free_end: bool, on_cpu: bool) -> set[int]:
 
     if not _nat.available():
         return set()
-    cap = int(os.environ.get("LESV_TPU_HOST_CELLS_CAP", 1 << 22))
-    budget = float(os.environ.get("LESV_TPU_HOST_CELLS_BUDGET", 3e9))
+    # with the device-side traceback the device path's readback is tiny,
+    # so the host pool (2 cores here) only takes genuinely small fills —
+    # enough to overlap with device dispatches, not enough to become the
+    # critical path
+    cap = int(os.environ.get("LESV_TPU_HOST_CELLS_CAP", 1 << 18))
+    budget = float(os.environ.get("LESV_TPU_HOST_CELLS_BUDGET", 3e8))
     costed = []
     for i, (q, s) in enumerate(pairs):
         lq, ls = len(q), len(s)
@@ -440,7 +450,9 @@ def _align_pairs_jax(pairs, cfg, free_end):
     retry: list[int] = []
 
     def run_host_block(idxs: list[int]) -> None:
-        out = _align_pairs_native([pairs[i] for i in idxs], cfg, free_end)
+        with profiling.trace("align/host_block"):
+            out = _align_pairs_native([pairs[i] for i in idxs], cfg,
+                                      free_end)
         with lock:
             for i, a in zip(idxs, out):
                 results[i] = a

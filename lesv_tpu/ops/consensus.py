@@ -147,9 +147,14 @@ def consensus_from_tags(
                 score[c] = sc
                 best_pred[c] = pc
     g = int(np.argmax(score))
-    # traceback
-    out = []
+    # traceback (native walk; python loop fallback)
     cns_to = int(col_tdb[g, 0]) + 1
+    w = native.fccns_walk(g, best_pred, col_tdb[:, 2], col_tdb[:, 0],
+                          GAP)
+    if w is not None:
+        codes, cns_from = w
+        return codes, cns_from, cns_to
+    out = []
     cns_from = 0
     cur = g
     while cur >= 0:

@@ -144,8 +144,8 @@ def batch_pair_chains(
 
     tasks = []
     for (Qb, Sb), idxs in sorted(buckets.items()):
-        for start in range(0, len(idxs), 64):
-            tasks.append((idxs[start : start + 64], Qb, Sb))
+        for start in range(0, len(idxs), 256):
+            tasks.append((idxs[start : start + 256], Qb, Sb))
     hs = sorted(hosted)
     host_blocks = [hs[i : i + 64] for i in range(0, len(hs), 64)]
 
@@ -181,7 +181,10 @@ def _pad_pow2_dim(n: int, lo: int = 256) -> int:
 
 
 def _quant_dim(n: int, lo: int = 256, hi: int = 1 << 18) -> int:
-    """x4 dimension steps: 256, 1k, 4k, 16k, 64k, 256k."""
+    """x4 dimension steps: 256, 1k, 4k, 16k, 64k, 256k.  Measured: each
+    dispatch's cost is dominated by fixed tunnel overhead (~0.2-0.4 s),
+    so fewer, wider buckets beat tighter padding (x2 steps doubled the
+    dispatch count at unchanged per-dispatch cost)."""
     p = lo
     while p < n:
         p *= 4

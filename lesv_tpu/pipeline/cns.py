@@ -203,58 +203,71 @@ def _run_round(
     # slack (identity failures are rare), later chunks top up stragglers
     first_chunk = ccfg.max_cns_cov + 5
     next_chunk = 8
+    from lesv_tpu.utils import profiling
+
     pending = [st for st in states if not st.done()]
     while pending:
         tasks = []
         owners: list[tuple[_TemplateState, int]] = []
-        for st in pending:
-            tmpl_seq = read_lists[st.g][st.i].seq
-            chunk = first_chunk if st.pos == 0 else next_chunk
-            for idx in range(st.pos, min(st.pos + chunk, len(st.cands))):
-                j, chain, sdir, q = st.cands[idx]
-                runs = mem_anchors(q, tmpl_seq, chain.anchors,
-                                   cfg.memsc.kmer_size,
-                                   cfg.memsc.mem_size)
-                tasks.append((q, tmpl_seq, runs, cfg.memsc.kmer_size))
-                owners.append((st, idx))
-        alns = anchored_align_many(tasks, cfg.align)
+        with profiling.trace("cns/mem_anchors"):
+            for st in pending:
+                tmpl_seq = read_lists[st.g][st.i].seq
+                chunk = first_chunk if st.pos == 0 else next_chunk
+                for idx in range(st.pos,
+                                 min(st.pos + chunk, len(st.cands))):
+                    j, chain, sdir, q = st.cands[idx]
+                    runs = mem_anchors(q, tmpl_seq, chain.anchors,
+                                       cfg.memsc.kmer_size,
+                                       cfg.memsc.mem_size)
+                    tasks.append((q, tmpl_seq, runs, cfg.memsc.kmer_size))
+                    owners.append((st, idx))
+        with profiling.trace("cns/align_wave"):
+            alns = anchored_align_many(tasks, cfg.align)
         by_state: dict[int, dict[int, object]] = {}
         for (st, idx), aln in zip(owners, alns):
             by_state.setdefault(id(st), {})[idx] = aln
-        for st in pending:
-            got = by_state.get(id(st), {})
-            tmpl_seq = read_lists[st.g][st.i].seq
-            while st.pos < len(st.cands) and not st.full:
-                if st.pos not in got:
-                    break
-                j, chain, sdir, q = st.cands[st.pos]
-                aln = got[st.pos]
-                st.pos += 1
-                sb, se = chain.sbeg, chain.send
-                if (j >= ccfg.max_cns_cov
-                        and (st.cov[sb:se] >= ccfg.max_cns_cov).all()):
-                    continue
-                if aln is None or len(aln.ops) == 0:
-                    continue
-                mm = match_mask(aln.ops, q, tmpl_seq, aln.qb, aln.sb)
-                pid = 100.0 * mm.sum() / len(aln.ops)
-                if pid < min_ident:
-                    continue
-                st.cov[aln.sb : aln.se] += 1
-                st.num_added += 1
-                st.tags.append(tags_from_ops(aln.ops, q, aln.qb, aln.sb))
-                if (st.num_added >= ccfg.max_cns_cov
-                        and (st.cov >= ccfg.max_cns_cov).all()):
-                    st.full = True
+        with profiling.trace("cns/admission"):
+            _admit(pending, by_state, read_lists, ccfg, min_ident)
         pending = [st for st in pending if not st.done()]
 
     # consensus DP per template (host, tiny)
     out: list[list[GroupRead]] = [[] for _ in read_lists]
-    for st in states:
-        r = _finish_template(read_lists[st.g][st.i], st, ccfg)
-        if r is not None:
-            out[st.g].append(r)
+    with profiling.trace("cns/finish"):
+        for st in states:
+            r = _finish_template(read_lists[st.g][st.i], st, ccfg)
+            if r is not None:
+                out[st.g].append(r)
     return out
+
+
+def _admit(pending, by_state, read_lists, ccfg, min_ident):
+    """Reference-order admission replay over one wave's alignments
+    (`correct_one_sv_read`'s coverage-capped accumulation)."""
+    for st in pending:
+        got = by_state.get(id(st), {})
+        tmpl_seq = read_lists[st.g][st.i].seq
+        while st.pos < len(st.cands) and not st.full:
+            if st.pos not in got:
+                break
+            j, chain, sdir, q = st.cands[st.pos]
+            aln = got[st.pos]
+            st.pos += 1
+            sb, se = chain.sbeg, chain.send
+            if (j >= ccfg.max_cns_cov
+                    and (st.cov[sb:se] >= ccfg.max_cns_cov).all()):
+                continue
+            if aln is None or len(aln.ops) == 0:
+                continue
+            mm = match_mask(aln.ops, q, tmpl_seq, aln.qb, aln.sb)
+            pid = 100.0 * mm.sum() / len(aln.ops)
+            if pid < min_ident:
+                continue
+            st.cov[aln.sb : aln.se] += 1
+            st.num_added += 1
+            st.tags.append(tags_from_ops(aln.ops, q, aln.qb, aln.sb))
+            if (st.num_added >= ccfg.max_cns_cov
+                    and (st.cov >= ccfg.max_cns_cov).all()):
+                st.full = True
 
 
 def _finish_template(src: GroupRead, st: _TemplateState,

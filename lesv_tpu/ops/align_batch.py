@@ -387,10 +387,23 @@ def _chunk_prefers_host(pairs, chunk, W: int, mode: str,
     return host_cost < dev_cost
 
 
+_CFG_THREADS = 0
+
+
+def set_num_threads(n: int) -> None:
+    """Apply -num_threads to the host pools (reference `-num_threads`
+    worker-thread count; 0 = auto).  Called by the driver from
+    LesvConfig.num_threads; env vars still override."""
+    global _CFG_THREADS
+    _CFG_THREADS = int(n or 0)
+
+
 def _n_host_workers() -> int:
     n = os.environ.get("LESV_TPU_HOST_FILL_THREADS")
     if n:
         return max(1, int(n))
+    if _CFG_THREADS > 0:
+        return _CFG_THREADS
     return max(1, min(8, os.cpu_count() or 1))
 
 
@@ -400,7 +413,9 @@ def _n_dispatch_workers(on_cpu: bool) -> int:
         return max(1, int(n))
     # CPU backend: serial (jaxlib's XLA:CPU compile path is flaky under
     # concurrent churn; the fill is compute-bound there anyway).
-    return 1 if on_cpu else 8
+    if on_cpu:
+        return 1
+    return _CFG_THREADS if _CFG_THREADS > 0 else 8
 
 
 def _align_pairs_jax(pairs, cfg, free_end):

@@ -161,7 +161,21 @@ def distributed_call(
     index = KmerIndex.build(sstore, cfg.index)
     trf = TrfMask(sstore, trf_intervals) if trf_intervals else None
 
-    my_ids = shard_strided(len(read_records), ex.host_id, ex.n_hosts)
+    # reference grid semantics: node i takes query VOLUMES i, i+N, ...
+    # (`app/map/main.c:35,41,55`; volume size = -max_query_vol_res).
+    # When the read set packs into fewer volumes than hosts, stride
+    # individual reads instead so every host contributes (outputs are
+    # sharding-invariant either way — signatures merge globally).
+    from lesv_tpu.pipeline.mapper import query_volumes
+
+    vols = query_volumes([len(r) for _, r in read_records],
+                         cfg.map.max_query_vol_res)
+    if len(vols) >= ex.n_hosts:
+        my_vols = shard_strided(len(vols), ex.host_id, ex.n_hosts)
+        my_ids = [i for v in my_vols for i in vols[v]]
+    else:
+        my_ids = shard_strided(len(read_records), ex.host_id,
+                               ex.n_hosts)
     my_reads = [read_records[i] for i in my_ids]
 
     m4s, qstore = map_all(my_reads, sstore, index, cfg)

@@ -63,6 +63,10 @@ def run_pipeline(
 
     setup_jax()   # persistent compile cache BEFORE any device work
     cfg = cfg or LesvConfig()
+    if cfg.num_threads:
+        from lesv_tpu.ops.align_batch import set_num_threads
+
+        set_num_threads(cfg.num_threads)   # -num_threads -> host pools
     timings: dict[str, float] = {}
     stats: dict[str, int] = {}
     ckpt = out_dir if (out_dir and resume) else None

@@ -361,22 +361,45 @@ def map_read(
     return map_batch([(qid, read)], store, index, cfg)
 
 
+def query_volumes(sizes: list[int], max_res: int) -> list[list[int]]:
+    """Greedy in-order packing of reads into query volumes of
+    <= ``max_res`` residues (-max_query_vol_res; the reference's query
+    DB volume partitioning, `makehbndb.c:20-26`).  Volumes are the
+    resume/grid-striding granularity (`app/map/main.c:35,41,55`)."""
+    vols: list[list[int]] = []
+    cur: list[int] = []
+    res = 0
+    for qid, sz in enumerate(sizes):
+        if cur and res + sz > max_res:
+            vols.append(cur)
+            cur, res = [], 0
+        cur.append(qid)
+        res += sz
+    if cur:
+        vols.append(cur)
+    return vols
+
+
 def _query_batches(qstore: SeqStore, cfg: LesvConfig):
     """Read batches bounded by count (batch_reads) AND residues
     (-query_batch_size, `hbn_align_one_volume.c:55-83`): bounds in-flight
-    seed-match memory for long-read sets."""
+    seed-match memory for long-read sets.  Batches never straddle a
+    query-volume boundary (-max_query_vol_res), so batch checkpoints
+    compose with volume-granular resume/striding."""
     B, R = cfg.map.batch_reads, cfg.map.query_batch_size
-    batch: list[int] = []
-    res = 0
-    for qid in range(qstore.num_seqs):
-        sz = qstore.seq_size(qid)
-        if batch and (len(batch) >= B or res + sz > R):
+    sizes = [qstore.seq_size(q) for q in range(qstore.num_seqs)]
+    for vol in query_volumes(sizes, cfg.map.max_query_vol_res):
+        batch: list[int] = []
+        res = 0
+        for qid in vol:
+            sz = sizes[qid]
+            if batch and (len(batch) >= B or res + sz > R):
+                yield batch
+                batch, res = [], 0
+            batch.append(qid)
+            res += sz
+        if batch:
             yield batch
-            batch, res = [], 0
-        batch.append(qid)
-        res += sz
-    if batch:
-        yield batch
 
 
 def map_all(

@@ -14,6 +14,9 @@ from lesv_tpu.parallel.dist import (
 from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_shard_strided():
     assert shard_strided(10, 0, 3) == [0, 3, 6, 9]
     assert shard_strided(10, 2, 3) == [2, 5, 8]

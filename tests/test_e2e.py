@@ -10,6 +10,9 @@ from lesv_tpu.pipeline.driver import run_pipeline
 from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def e2e():
     rng = np.random.default_rng(1234)

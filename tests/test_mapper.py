@@ -187,3 +187,56 @@ def test_volume_index_local_positions():
     solo = KmerIndex.build(SeqStore.from_records(chroms[1:]), cfg.index)
     assert np.array_equal(idx.uniq_hash, solo.uniq_hash)
     assert np.array_equal(idx.positions, solo.positions)
+
+
+def test_query_volume_striding_and_threads():
+    """-max_query_vol_res partitions queries into volumes (the resume /
+    grid-striding unit, app/map/main.c:35-55) and -num_threads reaches
+    the host pools — neither flag may be silently inert."""
+    import dataclasses
+
+    from lesv_tpu.ops import align_batch
+    from lesv_tpu.pipeline.mapper import map_all, query_volumes
+
+    assert query_volumes([100, 200, 300, 50], 300) == [[0, 1], [2], [3]]
+    # a single huge volume holds everything
+    assert query_volumes([100, 200], 10**9) == [[0, 1]]
+
+    # M4 output is volume-partitioning-invariant
+    rng = np.random.default_rng(3)
+    genome = random_genome(rng, 50_000)
+    store = SeqStore.from_records([("chr1", genome)])
+    cfg = LesvConfig()
+    cfg.map.engine = "host"
+    index = KmerIndex.build(store, cfg.index)
+    reads = []
+    for i in range(5):
+        st = int(rng.integers(0, 40_000))
+        reads.append((f"r{i}", mutate_read(
+            rng, genome[st : st + 4000], err=0.08)))
+    m4_a, _ = map_all(reads, store, index, cfg)
+    cfg2 = LesvConfig()
+    cfg2.map.engine = "host"
+    cfg2.map.max_query_vol_res = 4_500       # ~1 read per volume
+    m4_b, _ = map_all(reads, store, index, cfg2)
+    key = lambda m: (m.qid, m.qdir, m.qoff, m.qend, m.soff, m.send,
+                     m.score)
+    assert sorted(map(key, m4_a)) == sorted(map(key, m4_b))
+
+    # num_threads plumbs into the pools
+    align_batch.set_num_threads(3)
+    try:
+        assert align_batch._n_host_workers() == 3
+        assert align_batch._n_dispatch_workers(on_cpu=False) == 3
+    finally:
+        align_batch.set_num_threads(0)
+
+
+def test_dist_volume_striding():
+    """distributed_call strides query volumes when there are enough,
+    reads otherwise — VCF identical either way (sharding invariance)."""
+    from lesv_tpu.pipeline.mapper import query_volumes
+
+    sizes = [1000] * 7
+    vols = query_volumes(sizes, 2000)
+    assert len(vols) == 4 and vols[0] == [0, 1]

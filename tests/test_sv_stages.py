@@ -14,6 +14,9 @@ from lesv_tpu.pipeline.sv_reads import TrfMask, select_sv_reads
 from lesv_tpu.sim import plant_svs, random_genome, simulate_reads
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def svworld():
     rng = np.random.default_rng(7)

@@ -75,14 +75,25 @@ def evaluate(calls, truth, refdist: int = 1000, len_ratio: float = 0.7):
                 gt_concordance=round(gt_ok / max(tp_all, 1), 4))
 
 
-_case_cache: dict[int, tuple] = {}
+_case_cache: dict[object, tuple] = {}
+
+
+def _sim_key(seed: int, args) -> tuple:
+    """Cache/compatibility key: every argument the simulation depends
+    on (a seed-only key silently served stale cases if build_case was
+    ever called with different args in one process)."""
+    return (seed, args.genome, args.coverage, args.err, args.mean_len,
+            args.n_sv, args.min_len, args.max_len, args.het_frac,
+            bool(args.trf), args.trf_frac, args.cluster_frac, args.out)
 
 
 def build_case(seed: int, args):
-    # memoized per seed: the sweep re-scores 100+ CallConfig combos over
-    # the same cached pipeline artifacts and must not re-simulate
-    if seed in _case_cache:
-        return _case_cache[seed]
+    # memoized per (seed, sim args): the sweep re-scores 100+ CallConfig
+    # combos over the same cached pipeline artifacts and must not
+    # re-simulate
+    ck = _sim_key(seed, args)
+    if ck in _case_cache:
+        return _case_cache[ck]
     rng = np.random.default_rng(seed)
     if args.trf:
         genome, trf = repeat_genome(rng, args.genome,
@@ -103,8 +114,34 @@ def build_case(seed: int, args):
                               mean_len=args.mean_len, err=args.err))
     # re-name to avoid hap1/hap2 collisions
     reads = [(f"h{i % 2}_{n}", s) for i, (n, s) in enumerate(reads)]
-    _case_cache[seed] = (genome, trf, reads, truth)
-    return _case_cache[seed]
+    _case_cache[ck] = (genome, trf, reads, truth)
+    return _case_cache[ck]
+
+
+def _check_sim_config(out: str, seed: int, args, must_exist=False):
+    """Persist the sim config beside the stage checkpoints and refuse to
+    reuse artifacts generated under different sim args (resume/sweep
+    over a mismatched --genome/--coverage would silently score the
+    wrong case)."""
+    import json as _json
+
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "sim_config.json")
+    want = {"key": list(map(str, _sim_key(seed, args)))}
+    if os.path.exists(path):
+        with open(path) as fh:
+            got = _json.load(fh)
+        if got != want:
+            raise SystemExit(
+                f"{out}: checkpoints were generated with different sim "
+                f"args ({got['key']} vs {want['key']}); delete the "
+                f"directory or pass a different --out")
+    elif must_exist:
+        raise SystemExit(
+            f"{out}: no sim_config.json — run eval before sweep")
+    else:
+        with open(path, "w") as fh:
+            _json.dump(want, fh)
 
 
 def run_case(seed: int, args, cfg: LesvConfig):
@@ -112,6 +149,7 @@ def run_case(seed: int, args, cfg: LesvConfig):
 
     genome, trf, reads, truth = build_case(seed, args)
     out = os.path.join(args.out, f"seed{seed}")
+    _check_sim_config(out, seed, args)
     t0 = time.time()
     res = run_pipeline([("chr1", genome)], reads, cfg,
                        trf_intervals={0: trf} if trf else None,
@@ -135,7 +173,8 @@ def recall_cached(seed: int, args, cfg: LesvConfig):
 
     genome, trf, reads, truth = build_case(seed, args)
     out = os.path.join(args.out, f"seed{seed}")
-    key = ("art", seed)
+    _check_sim_config(out, seed, args, must_exist=True)
+    key = ("art",) + _sim_key(seed, args)
     if key not in _case_cache:
         _case_cache[key] = (
             SeqStore.from_records([("chr1", genome)]),
@@ -181,7 +220,17 @@ def sweep(args):
             recall=round(float(np.mean([e["recall"] for e in evs])), 4),
             gt=round(float(np.mean([e["gt_concordance"] for e in evs])), 4)))
     rows.sort(key=lambda r: (r["f1"], r["gt"]), reverse=True)
-    return rows
+    # the shipped-defaults row, emitted explicitly so the "defaults are
+    # argmax / tie at the top" claim is self-contained in the artifact
+    dflt = {k: getattr(base.call, k) for k in keys}
+    default_row = next((r for r in rows if r["params"] == dflt), None)
+    return dict(rows=rows,
+                defaults=dict(params=dflt, row=default_row,
+                              rank=(rows.index(default_row)
+                                    if default_row in rows else None),
+                              best_f1=rows[0]["f1"] if rows else None),
+                f1_spread=(round(rows[0]["f1"] - rows[-1]["f1"], 4)
+                           if rows else None))
 
 
 def main():
@@ -211,9 +260,11 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     if args.sweep:
-        rows = sweep(args)
+        sw = sweep(args)
         out = {"mode": "sweep", "config": vars(args) | {"seeds": args.seeds},
-               "top": rows[:15], "best": rows[0]}
+               "top": sw["rows"][:15], "best": sw["rows"][0],
+               "defaults": sw["defaults"], "f1_spread": sw["f1_spread"],
+               "n_combos": len(sw["rows"])}
     else:
         cfg = LesvConfig()
         reports = [run_case(s, args, cfg) for s in args.seeds]

@@ -19,7 +19,7 @@ fail=0
 for chunk in "${CHUNKS[@]}"; do
   for attempt in 1 2; do
     echo "=== pytest $chunk (attempt $attempt)"
-    eval "timeout 2400 python -m pytest $chunk -q"
+    eval "timeout 2400 python -m pytest $chunk -q -m \"slow or not slow\""
     rc=$?
     if [ $rc -eq 0 ]; then
       break

@@ -152,3 +152,40 @@ def test_padded_exchange_codec_roundtrip():
     stack = np.stack([JaxExchange.pad_to(p, maxlen) for p in payloads])
     back = JaxExchange.unpad(stack, lens, len(payloads))
     assert back == payloads
+
+
+def test_distributed_with_mesh_per_host():
+    """mesh x dist composition — the production topology: every host
+    runs its shard of distributed_call with a device mesh active (fills
+    shard over the host's chips via shard_map) while signatures merge
+    across hosts (`app/map/main.c:35-55`).  VCF must equal the meshless
+    single-host run byte for byte."""
+    from lesv_tpu.parallel.mesh import make_mesh, use_mesh
+
+    rng = np.random.default_rng(99)
+    genome = random_genome(rng, 80_000)
+    donor, truth = plant_svs(rng, genome, n_del=1, n_ins=1,
+                             min_len=150, max_len=300, margin=15_000,
+                             min_gap=25_000)
+    reads = simulate_reads(rng, donor, coverage=10.0, mean_len=8_000,
+                           min_len=4_000, err=0.08)
+    cfg = LesvConfig()
+    cfg.cns.min_size = 1_000
+    cfg.map.engine = "device"
+    single = distributed_call([("chr1", genome)], reads, cfg,
+                              exchange=LocalExchange())
+    assert single
+
+    mesh = make_mesh(4)      # each simulated host drives a 4-chip mesh
+
+    def host_fn(ex):
+        with use_mesh(mesh):
+            return distributed_call([("chr1", genome)], reads, cfg,
+                                    exchange=ex)
+
+    multi = run_simulated(host_fn, n_hosts=2)
+    for res in multi:
+        assert len(res) == len(single)
+        for a, b in zip(res, single):
+            assert (a.kind, a.pos, a.length, a.genotype) == \
+                (b.kind, b.pos, b.length, b.genotype)

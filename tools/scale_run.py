@@ -80,11 +80,15 @@ def main():
                        out_dir=args.out, resume=bool(args.out))
     wall = time.time() - t0
     ev = evaluate(res.calls, truth)
+    import resource
+
     print(json.dumps({
         "stats": res.stats,
         "timings": {k: round(v, 2) for k, v in res.timings.items()},
         "wall_s": round(wall, 1),
         "bases_per_sec": round(total_bases / wall),
+        "peak_rss_gb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
         "eval": ev,
         "truth": [(s.kind, s.ref_pos, s.length) for s in truth.svs],
         "calls": [(c.kind, c.pos, c.length, c.support) for c in res.calls],

@@ -51,6 +51,8 @@ from lesv_tpu.config import AlignConfig
 # sanctioned user.  A loud banner guards against a leaked env var.
 _ABLATE = os.environ.get("LESV_TPU_ABLATE", "")
 _SHIFT = os.environ.get("LESV_TPU_SHIFT", "")
+_ROW_UNROLL = os.environ.get("LESV_TPU_ROW_UNROLL", "1")
+_QT_CAP = int(os.environ.get("LESV_TPU_QT_CAP", "0"))
 if _ABLATE:
     print(
         f"lesv_tpu: WARNING: LESV_TPU_ABLATE={_ABLATE!r} is set — the "
@@ -359,8 +361,12 @@ def _fill_kernel(qlen_ref, slen_ref, q_ref, e_ref, win0_ref, dirs_ref,
                 br2_s[:, :] = jnp.where(upd, iv, br2_s[:, :])
             return 0
 
-        hi = jnp.minimum(QT, Qmax + 1 - i0)
-        jax.lax.fori_loop(0, hi, row, 0)
+        # static bound (row tiles are sized so nq*QT rows pad Qmax+1 by
+        # < 8*nq): Mosaic supports full unroll only, so small QT tiles
+        # fully unroll (amortizes the per-row loop overhead that
+        # dominates small-W fills)
+        jax.lax.fori_loop(0, QT, row, 0,
+                          unroll=QT if _ROW_UNROLL == "full" else 1)
 
     hfin_ref[:, :] = h_s[:, :]
     if free_end:
@@ -382,7 +388,13 @@ def _pallas_fill_jit(q, s, qlen, slen, W, mode, free_end, match, mismatch,
     dt = jnp.int16 if i16 else jnp.int32
     BT, QT = _tile_shape(B, W, free_end, esz=2 if i16 else 4)
     assert B % BT == 0
+    if _QT_CAP:
+        QT = min(QT, _QT_CAP)
     nq = -(-(Qmax + 1) // QT)
+    # shrink QT to the tightest multiple of 8 covering Qmax+1 in nq
+    # tiles: the kernel's row loop then has the STATIC bound QT
+    # (unrollable) at < 8*nq rows of padding waste
+    QT = -(-(-(-(Qmax + 1) // nq)) // 8) * 8
     Rpad = nq * QT
     nb = B // BT
 

@@ -245,9 +245,46 @@ def _align_pairs_native(pairs, cfg, free_end):
     W0 = np.asarray([_init_band(len(q), len(s), free_end)
                      for q, s in lp], np.int64)
     fe = np.full(len(lp), 1 if free_end else 0, np.uint8)
-    r = native.banded_align_batch_host(
-        lp, W0, fe, cfg.match, cfg.mismatch, cfg.gap_open1,
-        cfg.gap_ext1, cfg.gap_open2, cfg.gap_ext2)
+
+    def run_block(blk):
+        return native.banded_align_batch_host(
+            [lp[j] for j in blk], W0[blk], fe[blk], cfg.match,
+            cfg.mismatch, cfg.gap_open1, cfg.gap_ext1, cfg.gap_open2,
+            cfg.gap_ext2)
+
+    total_cells = int(sum(len(q) * w for (q, _), w in zip(lp, W0)))
+    nw = _n_host_workers()
+    if len(lp) > 1 and nw > 1 and total_cells > 50_000_000:
+        # heavy batches (e.g. remap's band-wide global fills) spread
+        # over the host cores; cost-balanced contiguous blocks
+        import concurrent.futures as _fut
+
+        costs = np.asarray([len(q) * w for (q, _), w in zip(lp, W0)],
+                           np.float64)
+        order = np.argsort(-costs, kind="stable")
+        blocks: list[list[int]] = [[] for _ in range(2 * nw)]
+        loads = np.zeros(2 * nw)
+        for j in order:                 # LPT assignment
+            t = int(np.argmin(loads))
+            blocks[t].append(int(j))
+            loads[t] += costs[j]
+        blocks = [b for b in blocks if b]
+        with _fut.ThreadPoolExecutor(max_workers=nw) as pool:
+            results = list(pool.map(run_block, blocks))
+        if any(r is None for r in results):
+            return _align_pairs_np(pairs, cfg, free_end)
+        for blk, r in zip(blocks, results):
+            ops_flat, ops_off, nops, score, qe, se, okv = r
+            for jj, j in enumerate(blk):
+                if not okv[jj]:
+                    continue
+                ops = ops_flat[ops_off[jj] : ops_off[jj]
+                               + nops[jj]].copy()
+                out[live[j]] = Alignment(0, int(qe[jj]), 0, int(se[jj]),
+                                         ops, score=int(score[jj]))
+        return out
+
+    r = run_block(list(range(len(lp))))
     if r is None:                    # native lib unavailable
         return _align_pairs_np(pairs, cfg, free_end)
     ops_flat, ops_off, nops, score, qe, se, okv = r
@@ -370,7 +407,17 @@ def _chunk_prefers_host(pairs, chunk, W: int, mode: str,
         Rq *= 4
     n_live = len(chunk)
     Bs = 8 if n_live <= 8 else 128 if n_live <= 128 else 1024
+    # monster fills: the dirs tensor must fit HBM comfortably and its
+    # flat index must fit int32 (device traceback) — SV-spanning global
+    # remaps of 30 kb reads can hit W=32k full-DP buckets; those belong
+    # on the host (the reference pays the same full-band rescue on CPU,
+    # `map_cns_sv_read.c:145`)
+    if Rq * W * Bs >= 1 << 31:
+        return True
     fill_cells = max_q * W * Bs
+    if W > 1024:
+        # no Pallas kernel above W=1024: the XLA scan fill is ~8x slower
+        fill_cells *= 8
     if os.environ.get("LESV_TPU_DEV_TB", "1") != "0":
         # device traceback: fetch is (lanes x T) ops + the scan's
         # ~0.09 us per lane-step (measured)

@@ -59,6 +59,12 @@ def extract_signatures(
         for svr in sv_reads
     ]
     alns = chain_and_align_many(pairs, cfg, global_fallback=True)
+    # reference semantics are an UNANCHORED global ksw2: re-solve any
+    # window where anchoring split one indel into several gap runs
+    # (pipeline.remap.repair_split_gaps_batch)
+    from lesv_tpu.pipeline.remap import repair_split_gaps_batch
+
+    alns = repair_split_gaps_batch(alns, pairs, cfg)
     for svr, (q, s), aln in zip(sv_reads, pairs, alns):
         if aln is None:
             continue

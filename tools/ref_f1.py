@@ -98,16 +98,24 @@ def reference_calls(seed: int, args, bin_dir: str):
     """Run reference stages 1-7 on the case, then OUR caller on its SAM."""
     genome, trf, reads, truth = build_case(seed, args)
     wrk = os.path.join(args.out, f"refpipe_seed{seed}")
-    if os.path.isdir(wrk):
-        shutil.rmtree(wrk)
-    os.makedirs(wrk, exist_ok=True)
-    ref_fa = os.path.join(wrk, "ref.fasta")
-    reads_fa = os.path.join(wrk, "reads.fasta")
-    write_fasta(ref_fa, [("chr1", genome)])
-    write_fasta(reads_fa, reads)
-    t0 = time.time()
-    art = run_reference(bin_dir, wrk, reads_fa, ref_fa, args.threads)
-    wall = time.time() - t0
+    done = os.path.join(wrk, "refpipe.done")
+    if getattr(args, "reuse_ref", False) and os.path.exists(done):
+        art = {"cns": os.path.join(wrk, "svr_group_cns"),
+               "m4": os.path.join(wrk, "map.m4")}
+        wall = 0.0
+    else:
+        if os.path.isdir(wrk):
+            shutil.rmtree(wrk)
+        os.makedirs(wrk, exist_ok=True)
+        ref_fa = os.path.join(wrk, "ref.fasta")
+        reads_fa = os.path.join(wrk, "reads.fasta")
+        write_fasta(ref_fa, [("chr1", genome)])
+        write_fasta(reads_fa, reads)
+        t0 = time.time()
+        art = run_reference(bin_dir, wrk, reads_fa, ref_fa, args.threads)
+        wall = time.time() - t0
+        with open(done, "w") as fh:
+            fh.write("ok\n")
     sstore = SeqStore.from_records([("chr1", genome)])
     remapped = parse_ref_sam_full(art["cns"], {"chr1": 0})
     # depth spans from the reference's own M4 (best alignment per read)
@@ -140,6 +148,8 @@ def main():
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--out", default="/tmp/lesv_ref_f1")
     ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--reuse-ref", action="store_true",
+                    help="reuse a completed reference-pipeline run dir")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)

@@ -196,9 +196,13 @@ def sweep(args):
     retune) the hand-set defaults (hom_genotype_frac et al)."""
     grid = {
         "hom_genotype_frac": [0.45, 0.55, 0.65, 0.75],
-        "min_support_frac": [0.1, 0.15, 0.2, 0.3],
+        "min_support_frac": [0.05, 0.1, 0.2, 0.3],
         "cluster_dist": [500, 1000, 2000],
-        "min_support": [2, 3, 4],
+        # min_support=1 is the precision-side falsifier: single-read
+        # spurious events pass, so these rows measure how much FP mass
+        # the support gate actually holds back (VERDICT r4 weak-5: a
+        # zero-FP case cannot discriminate precision constants)
+        "min_support": [1, 2, 3, 4],
     }
     base = LesvConfig()
     rows = []
